@@ -1,0 +1,389 @@
+"""Conv / norm / squeeze-excite building blocks (NHWC, flax.linen).
+
+TPU-first design notes
+----------------------
+* All image tensors are NHWC — the native layout for TPU convolutions (the
+  reference uses NCHW torch tensors; the checkpoint importer transposes).
+* Padding is always explicit symmetric ``((p, p), (p, p))`` to match torch's
+  ``Conv2d(padding=p)`` semantics exactly (XLA "SAME" pads asymmetrically for
+  even inputs, which would break checkpoint parity).
+* BatchNorm carries running statistics in the ``batch_stats`` collection;
+  ``use_running_average`` is toggled by the train/eval step, not stored state.
+* Squeeze-and-excite blocks keep their 1×1 convs as convs (not dense) so the
+  torch state dict maps 1:1; XLA fuses the pooled (N,1,1,C) pipeline anyway.
+
+Reference components reproduced (file:line in /root/reference):
+``ConvBNAct``/``ConvBN``                 FusionDynMM/src/models/model_utils.py:11-34
+``SqueezeAndExcitation``                 model_utils.py:36-51
+``SqueezeAndExcitationWeight``           model_utils.py:54-70
+``SqueezeAndExciteFusionAdd``            src/models/rgb_depth_fusion.py:13-26
+``SqueezeAndExciteReweigh`` (local gate) rgb_depth_fusion.py:29-65
+``Swish``/``Hswish``                     model_utils.py:100-115
+``Upsample`` (learned-3x3 family)        src/models/model.py:360-410
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dynmm_tpu.core.gates import gumbel_softmax
+
+Dtype = Any
+
+# torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (new-stat fraction).
+# flax momentum is the *retained* fraction: 1 - 0.1 = 0.9.
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def hswish(x):
+    return x * jax.nn.relu6(x + 3.0) / 6.0
+
+
+_ACTIVATIONS: dict[str, Callable] = {
+    "relu": jax.nn.relu,
+    "swish": swish,
+    "silu": swish,
+    "hswish": hswish,
+}
+
+
+def get_activation(name: str) -> Callable:
+    """Activation factory mirroring the reference's relu/swish/hswish choices."""
+    try:
+        return _ACTIVATIONS[name.lower()]
+    except KeyError:
+        raise NotImplementedError(
+            f"Only relu, swish and hswish are supported. Got {name}"
+        )
+
+
+def torch_conv(
+    features: int,
+    kernel_size: Sequence[int] | int,
+    stride: Sequence[int] | int = 1,
+    padding: Sequence[int] | int = 0,
+    use_bias: bool = True,
+    feature_group_count: int = 1,
+    dilation: Sequence[int] | int = 1,
+    dtype: Optional[Dtype] = None,
+    name: Optional[str] = None,
+) -> nn.Conv:
+    """``nn.Conv`` configured with torch-style explicit symmetric padding."""
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    return nn.Conv(
+        features=features,
+        kernel_size=tuple(kernel_size),
+        strides=tuple(stride),
+        padding=tuple((p, p) for p in padding),
+        use_bias=use_bias,
+        feature_group_count=feature_group_count,
+        kernel_dilation=tuple(dilation),
+        dtype=dtype,
+        name=name,
+    )
+
+
+def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
+    """3×3 stride-2 max pool with padding 1 (torch ``F.max_pool2d(..., 3, 2, 1)``)."""
+    return nn.max_pool(
+        x, window_shape=(3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+    )
+
+
+def global_avg_pool(x: jax.Array, keepdims: bool = True) -> jax.Array:
+    """Adaptive average pool to 1×1 over NHWC spatial dims."""
+    return x.mean(axis=(1, 2), keepdims=keepdims)
+
+
+class BatchNorm(nn.Module):
+    """Thin wrapper pinning torch-compatible BN defaults.
+
+    ``use_running_average`` comes in via call-time argument ``train``.
+    """
+
+    eps: float = BN_EPS
+    momentum: float = BN_MOMENTUM
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.eps,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+
+
+class ConvBNAct(nn.Module):
+    """conv → BN → activation (bias-free conv, torch-style padding).
+
+    Padding rule matches the reference: ``k // 2 + dilation - 1``.
+    """
+
+    features: int
+    kernel_size: int
+    activation: Callable = jax.nn.relu
+    dilation: int = 1
+    stride: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        padding = self.kernel_size // 2 + self.dilation - 1
+        x = torch_conv(
+            self.features,
+            self.kernel_size,
+            stride=self.stride,
+            padding=padding,
+            use_bias=False,
+            dilation=self.dilation,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        return self.activation(x)
+
+
+class ConvBN(nn.Module):
+    """conv → BN without activation (``model_utils.py:26-34``)."""
+
+    features: int
+    kernel_size: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = torch_conv(
+            self.features,
+            self.kernel_size,
+            padding=self.kernel_size // 2,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        return x
+
+
+class SqueezeAndExcitation(nn.Module):
+    """Channel recalibration: global pool → 1×1 reduce → act → 1×1 expand →
+    sigmoid → scale (``model_utils.py:36-51``).
+
+    The two 1×1 convs act on a (N,1,1,C) tensor — tiny matmuls the TPU
+    executes in one fused VPU/MXU pass; see ``dynmm_tpu.kernels`` for the
+    Pallas-fused variant used on the inference path.
+    """
+
+    channels: int
+    reduction: int = 16
+    activation: Callable = jax.nn.relu
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        w = global_avg_pool(x)
+        w = torch_conv(
+            self.channels // self.reduction, 1, dtype=self.dtype, name="fc1"
+        )(w)
+        w = self.activation(w)
+        w = torch_conv(self.channels, 1, dtype=self.dtype, name="fc2")(w)
+        w = jax.nn.sigmoid(w)
+        return x * w
+
+
+class SqueezeAndExcitationWeight(nn.Module):
+    """SE recalibration collapsed to a per-sample scalar
+    (``model_utils.py:54-70``): returns ``(x * se(x)).mean(axes=(H,W,C))``."""
+
+    channels: int
+    reduction: int = 16
+    activation: Callable = jax.nn.relu
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        w = global_avg_pool(x)
+        w = torch_conv(
+            self.channels // self.reduction, 1, dtype=self.dtype, name="fc1"
+        )(w)
+        w = self.activation(w)
+        w = torch_conv(self.channels, 1, dtype=self.dtype, name="fc2")(w)
+        w = jax.nn.sigmoid(w)
+        y = x * w
+        return y.mean(axis=(1, 2, 3))
+
+
+class SqueezeAndExciteFusionAdd(nn.Module):
+    """ESANet fusion cell: per-modality SE recalibration, then add
+    (``rgb_depth_fusion.py:13-26``)."""
+
+    channels: int
+    activation: Callable = jax.nn.relu
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, rgb, depth):
+        rgb = SqueezeAndExcitation(
+            self.channels, activation=self.activation, dtype=self.dtype, name="se_rgb"
+        )(rgb)
+        depth = SqueezeAndExcitation(
+            self.channels, activation=self.activation, dtype=self.dtype, name="se_depth"
+        )(depth)
+        return rgb + depth
+
+
+class SqueezeAndExciteReweigh(nn.Module):
+    """Local per-stage gate op (``rgb_depth_fusion.py:29-65``).
+
+    SE over concat(rgb, depth) → sigmoid scalar w → stack [w, 1−w] → Gumbel
+    softmax (hard at test). ``prev_weight`` chains gates so a skipped stage
+    forces later skips. Returns (batch, 2, 1, 1)-shaped weights to broadcast
+    over NHWC... here (batch, 2) and callers index columns — NHWC broadcasting
+    is done at the call site.
+
+    Being a *sampled* gate it takes an explicit PRNG key. ``random_policy``
+    draws uniform branch choices (the reference's ``random=True`` ablation).
+    """
+
+    channels_in: int  # per-modality channels; SE sees 2x this
+    activation: Callable = jax.nn.relu
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        key: jax.Array,
+        rgb: jax.Array,
+        depth: jax.Array,
+        temp: float = 1.0,
+        hard: bool = False,
+        prev_weight: Optional[jax.Array] = None,
+        random_policy: bool = False,
+        test: bool = False,
+    ) -> jax.Array:
+        bs = rgb.shape[0]
+        if random_policy:
+            b0 = jax.random.randint(key, (bs,), 0, 2).astype(rgb.dtype)
+            w_norm = jnp.stack([b0, 1.0 - b0], axis=1)
+        else:
+            x = jnp.concatenate([rgb, depth], axis=-1)
+            w = SqueezeAndExcitationWeight(
+                self.channels_in * 2,
+                activation=self.activation,
+                dtype=self.dtype,
+                name="se",
+            )(x)
+            w = jax.nn.sigmoid(w)
+            logits = jnp.stack([w, 1.0 - w], axis=1)
+            # test-time forces a hard sample, mirroring the reference
+            w_norm = gumbel_softmax(key, logits / temp, tau=1.0, hard=hard or test)
+        if prev_weight is not None:
+            b1 = w_norm[:, 1] * prev_weight
+            w_norm = jnp.stack([1.0 - b1, b1], axis=1)
+        return w_norm
+
+
+def _bilinear_3x3_kernel(channels: int, dtype=jnp.float32) -> jax.Array:
+    """Depthwise 3×3 kernel that mimics ×2 bilinear upsampling after a nearest
+    upscale (``model.py:385-391``). HWIO layout with I=1 (depthwise)."""
+    k = jnp.array(
+        [
+            [0.0625, 0.1250, 0.0625],
+            [0.1250, 0.2500, 0.1250],
+            [0.0625, 0.1250, 0.0625],
+        ],
+        dtype=dtype,
+    )
+    return jnp.tile(k[:, :, None, None], (1, 1, 1, channels))
+
+
+def resize_nearest(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Nearest-neighbor resize of NHWC to (H, W) — torch 'nearest' semantics
+    (floor of source index; for exact ×2 both conventions agree)."""
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, out_hw[0], out_hw[1], c), method="nearest")
+
+
+def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize matching torch ``align_corners=False``.
+
+    ``jax.image.resize(method='linear')`` implements the half-pixel-center
+    convention, identical to torch's align_corners=False.
+    """
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, out_hw[0], out_hw[1], c), method="linear")
+
+
+class Upsample(nn.Module):
+    """×2 upsampling: 'nearest' | 'bilinear' | 'learned-3x3' | 'learned-3x3-zeropad'.
+
+    The learned variants do nearest ×2 followed by a depthwise 3×3 conv
+    initialized to the bilinear kernel (``model.py:360-410``). 'learned-3x3'
+    replication-pads by 1 then convs valid; '-zeropad' zero-pads inside conv.
+    """
+
+    mode: str
+    channels: Optional[int] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = x.shape[1] * 2, x.shape[2] * 2
+        if "learned-3x3" in self.mode:
+            x = resize_nearest(x, (h, w))
+            c = x.shape[-1]
+            kernel_init = lambda key, shape, dtype=jnp.float32: _bilinear_3x3_kernel(
+                c, dtype
+            )
+            if self.mode == "learned-3x3":
+                x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+                padding = 0
+            else:  # learned-3x3-zeropad
+                padding = 1
+            x = nn.Conv(
+                features=c,
+                kernel_size=(3, 3),
+                padding=((padding, padding), (padding, padding)),
+                feature_group_count=c,
+                use_bias=True,
+                kernel_init=kernel_init,
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+            return x
+        elif self.mode == "nearest":
+            return resize_nearest(x, (h, w))
+        elif self.mode == "bilinear":
+            return resize_bilinear(x, (h, w))
+        raise NotImplementedError(f"Unknown upsampling mode {self.mode}")
