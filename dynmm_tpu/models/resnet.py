@@ -1,0 +1,307 @@
+"""ResNet encoders with staged forwards (NHWC, flax.linen).
+
+Re-implementation of the encoder family the reference builds on
+(``FusionDynMM/src/models/resnet.py``): three block types —
+
+* ``BasicBlock``      (resnet.py:42-84)
+* ``NonBottleneck1D`` (ERFNet factorized 3×1/1×3 block, resnet.py:87-147,
+  BatchNorm eps 1e-3 at :110)
+* ``Bottleneck``      (resnet.py:150-192)
+
+— plus the *staged* API (``forward_first_conv`` / ``forward_layer1..4``,
+resnet.py:352-379) that the fusion models interleave with depth fusion.
+
+TPU-first notes: NHWC layout; explicit symmetric padding for torch parity;
+the 1-channel depth stem is a first-class constructor argument (the torch
+version sums pretrained conv1 weights at load time — our checkpoint importer
+does the same transformation on import). The NBt1D factorized convs map to two
+skinny XLA convolutions that fuse with their activations.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dynmm_tpu.nn.layers import BN_EPS, BN_MOMENTUM, max_pool_3x3_s2, torch_conv
+
+Dtype = Any
+
+# ImageNet-pretrained layouts
+RESNET_LAYERS = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3), "resnet50": (3, 4, 6, 3)}
+
+he_normal_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _bn(name: str, eps: float, dtype, train: bool):
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=BN_MOMENTUM,
+        epsilon=eps,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class BasicBlock(nn.Module):
+    """conv3x3(s) → BN → act → conv3x3 → BN → +identity → act."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    activation: Callable = jax.nn.relu
+    dtype: Optional[Dtype] = None
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = torch_conv(
+            self.planes, 3, stride=self.stride, padding=1, use_bias=False,
+            dtype=self.dtype, name="conv1",
+        )(x)
+        out = _bn("bn1", BN_EPS, self.dtype, train)(out)
+        out = self.activation(out)
+        out = torch_conv(
+            self.planes, 3, padding=1, use_bias=False, dtype=self.dtype, name="conv2"
+        )(out)
+        out = _bn("bn2", BN_EPS, self.dtype, train)(out)
+        if self.has_downsample:
+            identity = torch_conv(
+                self.planes, 1, stride=self.stride, use_bias=False,
+                dtype=self.dtype, name="ds_conv",
+            )(x)
+            identity = _bn("ds_bn", BN_EPS, self.dtype, train)(identity)
+        return self.activation(out + identity)
+
+
+class NonBottleneck1D(nn.Module):
+    """ERFNet factorized residual block: 3×1 → act → 1×3 → BN → act →
+    3×1 → act → 1×3 → BN → +identity → act. BN eps = 1e-3; convs carry bias.
+    """
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    dilation: int = 1
+    activation: Callable = jax.nn.relu
+    dtype: Optional[Dtype] = None
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dilation
+        out = nn.Conv(
+            self.planes, (3, 1), strides=(self.stride, 1),
+            padding=((1, 1), (0, 0)), use_bias=True, dtype=self.dtype,
+            name="conv3x1_1",
+        )(x)
+        out = self.activation(out)
+        out = nn.Conv(
+            self.planes, (1, 3), strides=(1, self.stride),
+            padding=((0, 0), (1, 1)), use_bias=True, dtype=self.dtype,
+            name="conv1x3_1",
+        )(out)
+        out = _bn("bn1", 1e-3, self.dtype, train)(out)
+        out = self.activation(out)
+        out = nn.Conv(
+            self.planes, (3, 1), padding=((d, d), (0, 0)),
+            kernel_dilation=(d, 1), use_bias=True, dtype=self.dtype,
+            name="conv3x1_2",
+        )(out)
+        out = self.activation(out)
+        out = nn.Conv(
+            self.planes, (1, 3), padding=((0, 0), (d, d)),
+            kernel_dilation=(1, d), use_bias=True, dtype=self.dtype,
+            name="conv1x3_2",
+        )(out)
+        out = _bn("bn2", 1e-3, self.dtype, train)(out)
+        identity = x
+        if self.has_downsample:
+            identity = torch_conv(
+                self.planes, 1, stride=self.stride, use_bias=False,
+                dtype=self.dtype, name="ds_conv",
+            )(x)
+            identity = _bn("ds_bn", BN_EPS, self.dtype, train)(identity)
+        return self.activation(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """1×1 reduce → 3×3(s) → 1×1 expand(×4), BN+act between, +identity."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    activation: Callable = jax.nn.relu
+    dtype: Optional[Dtype] = None
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = torch_conv(self.planes, 1, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = _bn("bn1", BN_EPS, self.dtype, train)(out)
+        out = self.activation(out)
+        out = torch_conv(
+            self.planes, 3, stride=self.stride, padding=1, use_bias=False,
+            dtype=self.dtype, name="conv2",
+        )(out)
+        out = _bn("bn2", BN_EPS, self.dtype, train)(out)
+        out = self.activation(out)
+        out = torch_conv(
+            self.planes * 4, 1, use_bias=False, dtype=self.dtype, name="conv3"
+        )(out)
+        out = _bn("bn3", BN_EPS, self.dtype, train)(out)
+        if self.has_downsample:
+            identity = torch_conv(
+                self.planes * 4, 1, stride=self.stride, use_bias=False,
+                dtype=self.dtype, name="ds_conv",
+            )(x)
+            identity = _bn("ds_bn", BN_EPS, self.dtype, train)(identity)
+        return self.activation(out + identity)
+
+
+_BLOCKS = {
+    "BasicBlock": (BasicBlock, 1),
+    "NonBottleneck1D": (NonBottleneck1D, 1),
+    "Bottleneck": (Bottleneck, 4),
+}
+
+
+class ResNetStage(nn.Module):
+    """One residual stage: ``n_blocks`` blocks, first with stride/downsample."""
+
+    block: str
+    planes: int
+    n_blocks: int
+    stride: int = 1
+    in_planes: int = 64
+    activation: Callable = jax.nn.relu
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_cls, expansion = _BLOCKS[self.block]
+        needs_ds = self.stride != 1 or self.in_planes != self.planes * expansion
+        x = block_cls(
+            self.planes,
+            stride=self.stride,
+            has_downsample=needs_ds,
+            activation=self.activation,
+            dtype=self.dtype,
+            name="block0",
+        )(x, train)
+        for i in range(1, self.n_blocks):
+            x = block_cls(
+                self.planes,
+                activation=self.activation,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x, train)
+        return x
+
+
+class ResNet(nn.Module):
+    """Staged ResNet encoder.
+
+    ``stem(x)`` = 7×7/2 conv + BN + act (the reference's
+    ``forward_first_conv``; max-pool is applied by the caller, matching
+    resnet.py:352-358). ``layer1..layer4`` run the four residual stages.
+    ``__call__`` is the plain classification-backbone forward returning the
+    stage-4 feature map.
+    """
+
+    layers: Sequence[int]
+    block: str = "BasicBlock"
+    input_channels: int = 3
+    activation: Callable = jax.nn.relu
+    dtype: Optional[Dtype] = None
+
+    @property
+    def expansion(self) -> int:
+        return _BLOCKS[self.block][1]
+
+    @property
+    def down_channels(self) -> dict[int, int]:
+        e = self.expansion
+        return {2: 64, 4: 64 * e, 8: 128 * e, 16: 256 * e, 32: 512 * e}
+
+    def setup(self):
+        self.conv1 = torch_conv(
+            64, 7, stride=2, padding=3, use_bias=False, dtype=self.dtype, name="conv1"
+        )
+        self.bn1 = nn.BatchNorm(
+            momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype, name="bn1"
+        )
+        e = self.expansion
+        plan = [(64, 1, 64), (128, 2, 64 * e), (256, 2, 128 * e), (512, 2, 256 * e)]
+        stages = []
+        for i, ((planes, stride, in_planes), n) in enumerate(zip(plan, self.layers)):
+            stages.append(
+                ResNetStage(
+                    self.block,
+                    planes,
+                    n,
+                    stride=stride,
+                    in_planes=in_planes,
+                    activation=self.activation,
+                    dtype=self.dtype,
+                    name=f"layer{i + 1}",
+                )
+            )
+        self.stages = stages
+
+    def stem(self, x, train: bool = False):
+        x = self.conv1(x)
+        x = self.bn1(x, use_running_average=not train)
+        return self.activation(x)
+
+    def layer1(self, x, train: bool = False):
+        return self.stages[0](x, train)
+
+    def layer2(self, x, train: bool = False):
+        return self.stages[1](x, train)
+
+    def layer3(self, x, train: bool = False):
+        return self.stages[2](x, train)
+
+    def layer4(self, x, train: bool = False):
+        return self.stages[3](x, train)
+
+    def __call__(self, x, train: bool = False):
+        x = self.stem(x, train)
+        x = max_pool_3x3_s2(x)
+        for stage in self.stages:
+            x = stage(x, train)
+        return x
+
+
+def make_resnet(
+    name: str,
+    block: str = "BasicBlock",
+    input_channels: int = 3,
+    activation: Callable = jax.nn.relu,
+    dtype: Optional[Dtype] = None,
+    module_name: Optional[str] = None,
+) -> ResNet:
+    """Factory mirroring the reference constructors: ``resnet18/34`` honor the
+    ``block`` choice; ``resnet50`` always uses Bottleneck (resnet.py:450-466).
+    """
+    if name == "resnet50":
+        block = "Bottleneck"
+    elif block not in ("BasicBlock", "NonBottleneck1D"):
+        raise NotImplementedError(f"Block {block} is not implemented")
+    kwargs = {}
+    if module_name is not None:
+        kwargs["name"] = module_name
+    return ResNet(
+        layers=RESNET_LAYERS[name],
+        block=block,
+        input_channels=input_channels,
+        activation=activation,
+        dtype=dtype,
+        **kwargs,
+    )
