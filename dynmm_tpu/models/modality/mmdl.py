@@ -14,6 +14,22 @@ import flax.linen as nn
 import jax
 
 
+class EncoderHead(nn.Module):
+    """Unimodal encoder + head pipeline (the reference trains these via
+    ``training_structures.unimodal.train`` for the expert branches)."""
+
+    encoder: nn.Module
+    head: nn.Module
+    sequence: bool = False
+
+    def __call__(self, x, lengths=None, train: bool = False):
+        if self.sequence:
+            h = self.encoder(x, lengths, train)
+        else:
+            h = self.encoder(x, train=train)
+        return self.head(h, train=train)
+
+
 class MMDL(nn.Module):
     """encoders[i](inputs[i]) → fusion(outs) → head."""
 
