@@ -1,0 +1,146 @@
+"""Benchmark: NYUv2 fusion-level DynMM (SkipGateESANet R34-NBt1D, 480×640)
+inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+
+value        = hard-gate routed inference throughput, batch=1 (the reference's
+               eval regime), lax.switch execution so skipped depth stages are
+               really skipped. Gate decisions come from the live gate on the
+               benchmark input.
+vs_baseline  = value / static-baseline throughput measured identically on the
+               same chip (baseline = always-fuse path 4 = static ESANet
+               compute). The reference repo publishes no throughput numbers
+               (SURVEY §6), so the static model on identical hardware is the
+               baseline; >1.0 is the speedup dynamism buys.
+
+Timing methodology: this environment reaches the TPU through a high-latency
+tunnel where per-call host timing is meaningless, so each measurement runs
+N iterations *inside one jit* via ``lax.scan`` (iterations chained through a
+data dependency so XLA cannot hoist the body) and reads back one scalar; a
+no-op jit call of the same arity calibrates the fixed round-trip overhead.
+
+Extra diagnostics (per-path latency, batched dense throughput) go to stderr;
+stdout stays one JSON line.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+SCAN_ITERS = 30
+
+
+def log(msg: str):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_scan_bench(apply_fn):
+    """Wrap apply_fn(variables, rgb, depth)->logits in an N-iteration scan
+    with an artificial data dependency; returns jitted fn -> scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(variables, rgb, depth):
+        def body(carry, _):
+            out = apply_fn(variables, carry, depth)
+            # chain: negligible perturbation keeps a true data dependency
+            carry = carry + 1e-30 * jnp.mean(out)
+            return carry, ()
+        carry, _ = jax.lax.scan(body, rgb, None, length=SCAN_ITERS)
+        return jnp.sum(carry[0, 0, 0])
+
+    return run
+
+
+def measure(run, nop, *args, reps: int = 3) -> float:
+    """Seconds per iteration, overhead-corrected, best of ``reps``."""
+    float(run(*args))  # compile + warm
+    float(nop(*args))
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run(*args))
+        total = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(nop(*args))
+        overhead = time.perf_counter() - t0
+        best = min(best, max(total - overhead, 1e-9) / SCAN_ITERS)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+
+    h, w = 480, 640
+    model = _flagship(h, w)
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(np.float32))
+    depth = jnp.asarray(rng.standard_normal((1, h, w, 1)).astype(np.float32))
+
+    log(f"devices: {jax.devices()}")
+    variables = model.init(jax.random.PRNGKey(0), rgb, depth, train=False)
+
+    @jax.jit
+    def nop(variables, rgb, depth):
+        return jnp.sum(rgb[0, 0, 0])
+
+    def dyn_apply(v, r, d):
+        return model.apply(v, r, d, method=model.forward_switch)
+
+    def base_apply(v, r, d):
+        return model.apply(v, r, d, baseline=True, method=model.forward_switch)
+
+    t_dyn = measure(make_scan_bench(dyn_apply), nop, variables, rgb, depth)
+    t_base = measure(make_scan_bench(base_apply), nop, variables, rgb, depth)
+    fps_dyn, fps_base = 1.0 / t_dyn, 1.0 / t_base
+    log(f"bs=1 switch: dynamic {t_dyn*1e3:.2f} ms ({fps_dyn:.1f} fps) | "
+        f"static-baseline {t_base*1e3:.2f} ms ({fps_base:.1f} fps)")
+
+    # Diagnostics: per-path latency + batched dense throughput.
+    try:
+        for k in (0, 2, 4):
+            fk = make_scan_bench(
+                functools.partial(
+                    lambda v, r, d, k: model.apply(
+                        v, r, d, force_path=k, method=model.forward_switch
+                    ),
+                    k=k,
+                )
+            )
+            tk = measure(fk, nop, variables, rgb, depth, reps=1)
+            log(f"  path k={k}: {tk*1e3:.2f} ms ({1/tk:.1f} fps)")
+        bs = 8
+        rgb8 = jnp.tile(rgb, (bs, 1, 1, 1))
+        depth8 = jnp.tile(depth, (bs, 1, 1, 1))
+        fd = make_scan_bench(
+            lambda v, r, d: model.apply(v, r, d, train=False, hard=True)
+        )
+        td = measure(fd, nop, variables, rgb8, depth8, reps=1)
+        log(f"bs={bs} dense hard: {td*1e3:.2f} ms/batch ({bs/td:.1f} fps)")
+    except Exception as e:  # diagnostics must never kill the bench
+        log(f"diagnostics failed: {e}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "nyuv2_skipgate_r34nbt1d_480x640_bs1_hardgate_fps",
+                "value": round(fps_dyn, 3),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps_dyn / fps_base, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""NYU Depth V2 RGB-D segmentation dataset (40 classes + void).
+
+Directory layout = the ESANet-prepared format the reference consumes
+(``FusionDynMM/src/datasets/nyuv2/pytorch_dataset.py``): per split
+``{split}/rgb/*.png`` (H,W,3 uint8), ``{split}/depth/*.png`` (uint16 mm;
+``depth_raw`` for raw mode) and ``{split}/labels_40/*.png`` (uint8, 0=void),
+with ``{split}.txt`` listing sample ids. Use
+``dynmm_tpu.data.prepare_nyuv2`` to convert the official
+``nyu_depth_v2_labeled.mat`` into this layout.
+
+Canonical constants mirrored from the reference: refined-depth train stats
+mean 2841.94941 / std 1417.25943 mm (pytorch_dataset.py:57-58); one camera
+'kv1'; splits 795 train / 654 test.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+DEPTH_MEAN = 2841.94941272766
+DEPTH_STD = 1417.2594281672277
+N_CLASSES = 40  # without void
+CAMERAS = ("kv1",)
+
+CLASS_NAMES_40 = [
+    "wall", "floor", "cabinet", "bed", "chair", "sofa", "table", "door",
+    "window", "bookshelf", "picture", "counter", "blinds", "desk", "shelves",
+    "curtain", "dresser", "pillow", "mirror", "floor mat", "clothes",
+    "ceiling", "books", "refridgerator", "television", "paper", "towel",
+    "shower curtain", "box", "whiteboard", "person", "night stand", "toilet",
+    "sink", "lamp", "bathtub", "bag", "otherstructure", "otherfurniture",
+    "otherprop",
+]
+
+
+def class_colors(n: int = N_CLASSES + 1, seed: int = 1) -> np.ndarray:
+    """Deterministic visualization palette ((n,3) uint8; index 0 = void/black)."""
+    rng = np.random.default_rng(seed)
+    colors = rng.integers(0, 255, size=(n, 3), dtype=np.uint8)
+    colors[0] = 0
+    return colors
+
+
+class NYUv2Dataset:
+    """Map-style access to the prepared on-disk dataset."""
+
+    def __init__(
+        self,
+        root: str,
+        split: str = "train",
+        depth_mode: str = "refined",
+    ):
+        assert split in ("train", "test")
+        assert depth_mode in ("refined", "raw")
+        self.root = root
+        self.split = split
+        self.depth_mode = depth_mode
+        self.cameras = CAMERAS
+        self.n_classes_without_void = N_CLASSES
+        list_file = os.path.join(root, f"{split}.txt")
+        with open(list_file) as f:
+            self.ids = [line.strip() for line in f if line.strip()]
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def _png(self, kind: str, idx: int) -> np.ndarray:
+        import cv2
+
+        path = os.path.join(self.root, self.split, kind, f"{self.ids[idx]}.png")
+        flag = cv2.IMREAD_UNCHANGED
+        img = cv2.imread(path, flag)
+        if img is None:
+            raise FileNotFoundError(path)
+        if kind == "rgb":
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        return img
+
+    def load_image(self, idx: int) -> np.ndarray:
+        return self._png("rgb", idx)
+
+    def load_depth(self, idx: int) -> np.ndarray:
+        kind = "depth" if self.depth_mode == "refined" else "depth_raw"
+        return self._png(kind, idx)
+
+    def load_label(self, idx: int) -> np.ndarray:
+        return self._png("labels_40", idx)
+
+    def __getitem__(self, idx: int) -> dict:
+        return {
+            "image": self.load_image(idx),
+            "depth": self.load_depth(idx).astype(np.float32),
+            "label": self.load_label(idx),
+        }
+
+    @property
+    def depth_mean(self) -> float:
+        return DEPTH_MEAN
+
+    @property
+    def depth_std(self) -> float:
+        return DEPTH_STD
+
+
+class SyntheticSegDataset:
+    """Shape-compatible synthetic RGB-D segmentation data for tests/benchmarks:
+    piecewise-constant label regions with modality-correlated appearance."""
+
+    def __init__(
+        self,
+        n: int = 16,
+        height: int = 480,
+        width: int = 640,
+        n_classes: int = N_CLASSES,
+        seed: int = 0,
+        split: str = "train",
+    ):
+        self.n = n
+        self.h, self.w = height, width
+        self.n_classes_without_void = n_classes
+        self.cameras = CAMERAS
+        self.split = split
+        self.depth_mean = DEPTH_MEAN
+        self.depth_std = DEPTH_STD
+        self._seed = seed
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, idx: int) -> dict:
+        rng = np.random.default_rng(self._seed * 100003 + idx)
+        # blocky label map (plus some void at the border)
+        gh, gw = 8, 8
+        grid = rng.integers(1, self.n_classes_without_void + 1, size=(gh, gw))
+        label = np.kron(
+            grid, np.ones((self.h // gh, self.w // gw), dtype=np.int64)
+        ).astype(np.uint8)
+        label[:4] = 0  # void strip
+        image = (
+            (label[..., None].astype(np.float32) * 5.3) % 255
+            + rng.normal(0, 12, size=(self.h, self.w, 3))
+        ).clip(0, 255).astype(np.uint8)
+        depth = (
+            label.astype(np.float32) * 80.0
+            + 1500.0
+            + rng.normal(0, 30, size=(self.h, self.w))
+        ).clip(100, 9000).astype(np.float32)
+        return {"image": image, "depth": depth, "label": label}

@@ -203,6 +203,7 @@ class SkipGateESANet(_DualEncoderParts):
         temp: float = 1.0,
         baseline: bool = False,
         return_weight: bool = False,
+        force_path: Optional[int] = None,
     ):
         """Hard-gate inference with *real* compute skipping via
         ``jax.lax.switch`` over 5 path subgraphs (eval only; depth stages
@@ -213,7 +214,10 @@ class SkipGateESANet(_DualEncoderParts):
         rgb, depth = self._stems(rgb, depth, train)
         weight = self.gate_weights(rgb, depth, temp=temp, hard=True,
                                    train=train, baseline=baseline)
-        k = jnp.argmax(weight[0]).astype(jnp.int32)
+        if force_path is not None:  # static path override (benchmarks/tests)
+            k = jnp.int32(force_path)
+        else:
+            k = jnp.argmax(weight[0]).astype(jnp.int32)
 
         def make_path(n_fused: int):
             def path(operands):

@@ -1,0 +1,431 @@
+"""Segmentation training/eval engine — TPU equivalent of the reference's
+``FusionDynMM/train.py`` + the eval core of ``eval.py``.
+
+Reference semantics reproduced:
+* SGD(momentum 0.9, nesterov) / Adam, weight decay, OneCycle LR stepped once
+  per epoch with div_factor 25, pct_start 0.1, cos anneal, final_div 1e4
+  (train.py:120-128)
+* class-weighted multi-scale CE + flop-budget hinge:
+  ``total = Σ CE_scale + ratio · max(0, loss_flop − budget)`` (train.py:313-319)
+* exponential temperature annealing; stage flags per epoch:
+  ``ini_stage = e < epoch_ini``, ``hard_gate = e ≥ epoch_hard`` (train.py:193-197)
+* freeze-all-but-gate (train.py:139-141 + model.freeze)
+* validation per camera: bilinear-resize predictions to the original label
+  size, argmax, void-mask, label−1, confusion-matrix mIoU (train.py:368-551)
+* CSV logging of losses / mIoU / lr / phase timings; best-mIoU state kept;
+  periodic + final checkpoints; NaN loss guard (train.py:334-335)
+
+TPU redesign: the whole train step (dense soft-gated forward over both
+modality branches, 4-scale loss, backward, SGD) is one jit-compiled program;
+the eval step (forward → full-res bilinear resize → argmax) is a second one.
+Static mode flags (ini/hard/baseline) select among a handful of compiled
+variants; the temperature and learning rate stream in as traced scalars so
+annealing never recompiles.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import json
+import os
+import pickle
+import sys
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dynmm_tpu.core.resource import GateStats
+from dynmm_tpu.core.schedules import ExpDecayTemp
+from dynmm_tpu.nn.layers import resize_bilinear
+from dynmm_tpu.train.metrics import ConfusionMatrix
+from dynmm_tpu.train.seg_losses import StreamingValidLoss, multiscale_ce
+from dynmm_tpu.utils.checkpoint import load_ckpt, save_ckpt
+from dynmm_tpu.utils.logger import CSVLogger
+
+DOWN_RATES = (8, 16, 32)
+
+
+@dataclasses.dataclass
+class SegTrainConfig:
+    epochs: int = 500
+    lr: float = 0.01
+    optimizer: str = "SGD"
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    batch_size: int = 8
+    loss_ratio: float = 0.0
+    flop_budget: float = 0.0
+    temp: float = 1.0
+    end_temp: float = 0.001
+    epoch_ini: int = 0
+    epoch_hard: int = 500
+    eval_every: int = 2
+    save_every: int = 100
+    baseline: bool = False
+    freeze: bool = False
+    soft_eval: bool = False
+    dynamic: bool = True
+    modality: str = "rgbd"
+    debug: bool = False  # one batch per train/valid pass
+
+
+def onecycle_lr(cfg: SegTrainConfig):
+    """Per-epoch OneCycle schedule matching torch OneCycleLR defaults used by
+    the reference."""
+    return optax.cosine_onecycle_schedule(
+        transition_steps=cfg.epochs,
+        peak_value=cfg.lr,
+        pct_start=0.1,
+        div_factor=25.0,
+        final_div_factor=1e4,
+    )
+
+
+def make_seg_optimizer(cfg: SegTrainConfig, params=None):
+    if cfg.optimizer == "SGD":
+        base = optax.inject_hyperparams(
+            lambda learning_rate: optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay),
+                optax.sgd(learning_rate, momentum=cfg.momentum, nesterov=True),
+            )
+        )(learning_rate=cfg.lr)
+    elif cfg.optimizer == "Adam":
+        base = optax.inject_hyperparams(
+            lambda learning_rate: optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay),
+                optax.adam(learning_rate, b1=0.9, b2=0.999),
+            )
+        )(learning_rate=cfg.lr)
+    else:
+        raise NotImplementedError(
+            f"Currently only SGD and Adam as optimizers are supported. Got {cfg.optimizer}"
+        )
+    if cfg.freeze and cfg.dynamic and params is not None:
+        labels = jax.tree_util.tree_map_with_path(
+            lambda path, _: "train"
+            if any("gate" in str(getattr(p, "key", "")) for p in path)
+            else "freeze",
+            params,
+        )
+        return optax.multi_transform(
+            {"train": base, "freeze": optax.set_to_zero()}, labels
+        )
+    return base
+
+
+def _set_lr(opt_state, lr):
+    """Update the injected learning rate inside the optimizer state pytree."""
+
+    def visit(node):
+        if hasattr(node, "hyperparams") and "learning_rate" in node.hyperparams:
+            node.hyperparams["learning_rate"] = jnp.asarray(
+                lr, dtype=jnp.asarray(node.hyperparams["learning_rate"]).dtype
+            )
+        if isinstance(node, tuple):
+            for sub in node:
+                visit(sub)
+        inner = getattr(node, "inner_state", None)
+        if inner is not None:
+            visit(inner)
+
+    visit(opt_state)
+    return opt_state
+
+
+class SegTrainer:
+    """Engine for ESANet-family models (static or gated)."""
+
+    def __init__(self, model, cfg: SegTrainConfig, class_weights: np.ndarray):
+        self.model = model
+        self.cfg = cfg
+        self.class_weights = jnp.asarray(class_weights, jnp.float32)
+        self._train_steps: dict = {}
+        self._eval_steps: dict = {}
+        self.tx = None
+
+    # ------------------------------------------------------------------ state
+    def init_state(self, rng, sample_batch) -> dict:
+        image = jnp.asarray(sample_batch["image"][:1])
+        depth = jnp.asarray(sample_batch["depth"][:1])
+        variables = self.model.init(rng, image, depth, train=False)
+        params = variables["params"]
+        self.tx = make_seg_optimizer(self.cfg, params)
+        return {
+            "params": params,
+            "model_state": {k: v for k, v in variables.items() if k != "params"},
+            "opt_state": self.tx.init(params),
+        }
+
+    # ------------------------------------------------------------------ steps
+    def _model_train_out(self, variables, image, depth, temp, flags, rng):
+        """Returns (preds_4scale, loss_flop, new_model_state)."""
+        kwargs: dict[str, Any] = {"train": True, "mutable": ["batch_stats"]}
+        if self.cfg.dynamic:
+            kwargs.update(
+                temp=temp,
+                hard=flags["hard"],
+                baseline=flags["baseline"],
+                ini_stage=flags["ini"],
+            )
+            if flags["ini"]:
+                kwargs["rng"] = rng
+            (preds, loss_flop), new_state = self.model.apply(
+                variables, image, depth, **kwargs
+            )
+        else:
+            preds, new_state = self.model.apply(variables, image, depth, **kwargs)
+            loss_flop = jnp.zeros(())
+        return preds, loss_flop, new_state
+
+    def _get_train_step(self, flags_key):
+        if flags_key in self._train_steps:
+            return self._train_steps[flags_key]
+        flags = dict(zip(("hard", "baseline", "ini"), flags_key))
+        cfg = self.cfg
+
+        def step(state, image, depth, targets, lr, temp, rng):
+            def loss_fn(params):
+                preds, loss_flop, new_state = self._model_train_out(
+                    {"params": params, **state["model_state"]},
+                    image, depth, temp, flags, rng,
+                )
+                loss_seg, per_scale = multiscale_ce(
+                    preds, targets, self.class_weights
+                )
+                total = loss_seg
+                if cfg.loss_ratio > 0:
+                    total = total + cfg.loss_ratio * jnp.maximum(
+                        loss_flop - cfg.flop_budget, 0.0
+                    )
+                return total, (per_scale, loss_flop, new_state)
+
+            (total, (per_scale, loss_flop, new_state)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+            )
+            opt_state = _set_lr(state["opt_state"], lr)
+            updates, opt_state = self.tx.update(
+                grads, opt_state, state["params"]
+            )
+            params = optax.apply_updates(state["params"], updates)
+            new_full = {
+                "params": params,
+                "model_state": new_state,
+                "opt_state": opt_state,
+            }
+            return new_full, total, jnp.stack(per_scale), loss_flop
+
+        jitted = jax.jit(step)
+        self._train_steps[flags_key] = jitted
+        return jitted
+
+    def _get_eval_step(self, key):
+        """key = (hard, baseline, out_h, out_w)."""
+        if key in self._eval_steps:
+            return self._eval_steps[key]
+        hard, baseline, out_h, out_w = key
+
+        def step(state, image, depth):
+            variables = {"params": state["params"], **state["model_state"]}
+            if self.cfg.dynamic:
+                pred, weight = self.model.apply(
+                    variables, image, depth, train=False,
+                    hard=hard, baseline=baseline, return_weight=True,
+                )
+            else:
+                pred = self.model.apply(variables, image, depth, train=False)
+                weight = jnp.zeros((image.shape[0], 0))
+            pred_logits = pred
+            pred_full = resize_bilinear(pred_logits, (out_h, out_w))
+            return pred_logits, jnp.argmax(pred_full, axis=-1), weight
+
+        jitted = jax.jit(step)
+        self._eval_steps[key] = jitted
+        return jitted
+
+    # ------------------------------------------------------------------ loops
+    def train_one_epoch(self, state, loader, epoch: int, lr: float, temp: float):
+        cfg = self.cfg
+        flags_key = (
+            bool(epoch >= cfg.epoch_hard),
+            bool(cfg.baseline),
+            bool(epoch < cfg.epoch_ini),
+        )
+        step = self._get_train_step(flags_key)
+        t0 = time.time()
+        totals, per_scales, flops = [], [], []
+        rng = jax.random.PRNGKey(epoch)
+        for i, batch in enumerate(loader):
+            rng, sub = jax.random.split(rng)
+            targets = [jnp.asarray(batch["label"])] + [
+                jnp.asarray(batch["label_down"][r]) for r in DOWN_RATES
+            ]
+            state, total, per_scale, loss_flop = step(
+                state,
+                jnp.asarray(batch["image"]),
+                jnp.asarray(batch["depth"]),
+                targets,
+                lr,
+                temp,
+                sub,
+            )
+            total = float(total)
+            if np.isnan(total):
+                raise ValueError("Loss is None")
+            totals.append(total)
+            per_scales.append(np.asarray(per_scale))
+            flops.append(float(loss_flop))
+            if cfg.debug:
+                break
+        per_scales = np.mean(per_scales, axis=0)
+        logs = {
+            "epoch": epoch,
+            "lr_0": lr,
+            "time_training": time.time() - t0,
+            "loss_train_total": float(np.mean(totals)),
+            "loss_flop": float(np.mean(flops)) if cfg.loss_ratio > 0 else 0.0,
+            "loss_train_full_size": float(per_scales[0]),
+        }
+        for i, r in enumerate(DOWN_RATES):
+            logs[f"loss_train_down_{r}"] = float(per_scales[i + 1])
+        return state, logs
+
+    def validate(
+        self,
+        state,
+        loader,
+        logs: Optional[dict] = None,
+        noise_mode: int = -1,
+        noise: float = 0.0,
+        run_seed: int = 0,
+        valid_loss: Optional[StreamingValidLoss] = None,
+        collect_weights: Optional[GateStats] = None,
+    ):
+        """Per-camera eval: returns ({camera: miou}, logs). Matches the
+        reference post-processing chain exactly (resize→argmax→mask→−1)."""
+        cfg = self.cfg
+        logs = logs if logs is not None else {}
+        n_classes = int(self.class_weights.shape[0])
+        cameras = getattr(loader.dataset, "cameras", ("kv1",))
+        split = getattr(loader.dataset, "split", "test")
+        hard = not cfg.soft_eval
+        rng = np.random.default_rng(run_seed)
+
+        t_val0 = time.time()
+        forward_time = post_time = cm_time = 0.0
+        miou = {}
+        if valid_loss is not None:
+            valid_loss.reset()
+        for camera in cameras:
+            cm = ConfusionMatrix(n_classes)
+            for batch in loader:
+                image = batch["image"]
+                depth = batch["depth"]
+                if noise_mode >= 0:
+                    from dynmm_tpu.data.seg_preprocessing import inject_eval_noise
+
+                    image, depth = inject_eval_noise(
+                        image, depth, noise_mode, noise, rng
+                    )
+                label_orig = batch.get("label_orig", batch.get("label"))
+                out_h, out_w = label_orig.shape[1], label_orig.shape[2]
+                step = self._get_eval_step((hard, bool(cfg.baseline), out_h, out_w))
+
+                t0 = time.time()
+                pred_logits, pred_full, weight = step(
+                    state, jnp.asarray(image), jnp.asarray(depth)
+                )
+                pred_full = np.asarray(pred_full)
+                forward_time += time.time() - t0
+
+                t0 = time.time()
+                if valid_loss is not None and "label" in batch:
+                    valid_loss.add_batch(pred_logits, jnp.asarray(batch["label"]))
+                if collect_weights is not None:
+                    collect_weights.append(weight)
+                mask = label_orig > 0
+                lab = label_orig[mask] - 1
+                pred_m = pred_full[mask]
+                post_time += time.time() - t0
+
+                t0 = time.time()
+                cm.update(lab, pred_m)
+                cm_time += time.time() - t0
+                if cfg.debug:
+                    break
+            miou[camera] = cm.miou()
+            logs[f"mIoU_{split}_{camera}"] = miou[camera]
+
+        logs["time_validation"] = time.time() - t_val0
+        logs["time_forward"] = forward_time
+        logs["time_post_processing"] = post_time
+        logs["time_confusion_matrix"] = cm_time
+        if valid_loss is not None:
+            logs[f"loss_{split}"] = valid_loss.compute()
+        return miou, logs
+
+    # ------------------------------------------------------------------- fit
+    def fit(
+        self,
+        state,
+        train_loader,
+        valid_loader,
+        ckpt_dir: str,
+        start_epoch: int = 0,
+        best_miou: float = 0.0,
+        best_miou_epoch: int = 0,
+        log_fn=print,
+    ):
+        cfg = self.cfg
+        os.makedirs(ckpt_dir, exist_ok=True)
+        os.makedirs(os.path.join(ckpt_dir, "confusion_matrices"), exist_ok=True)
+        lr_sched = onecycle_lr(cfg)
+        temp_sched = ExpDecayTemp(cfg.temp, cfg.end_temp, cfg.epoch_hard)
+        cameras = getattr(valid_loader.dataset, "cameras", ("kv1",))
+        split = getattr(valid_loader.dataset, "split", "test")
+
+        log_keys = (
+            [f"mIoU_{split}_{c}" for c in cameras]
+            + ["epoch", "lr_0", "loss_train_total", "loss_train_full_size", "loss_flop"]
+            + [f"loss_train_down_{r}" for r in DOWN_RATES]
+            + [f"loss_{split}"]
+            + ["time_training", "time_validation", "time_forward",
+               "time_post_processing", "time_confusion_matrix"]
+        )
+        csvlogger = CSVLogger(log_keys, os.path.join(ckpt_dir, "logs.csv"))
+        best_state = state
+
+        for epoch in range(start_epoch, cfg.epochs):
+            assert cfg.epoch_ini <= cfg.epoch_hard
+            lr = float(lr_sched(epoch))
+            temp = float(temp_sched(epoch))
+            state, logs = self.train_one_epoch(state, train_loader, epoch, lr, temp)
+            log_fn(
+                f"Epoch {epoch} | Train loss {logs['loss_train_total']:.4f} | "
+                f"Flop loss {logs['loss_flop']:.4f} | Temperature {temp:.5f} | lr {lr:.6f}"
+            )
+            if epoch == start_epoch or epoch % cfg.eval_every == 0:
+                miou, logs = self.validate(state, valid_loader, logs)
+                cam0 = cameras[0]
+                if miou[cam0] > best_miou:
+                    best_miou = miou[cam0]
+                    best_miou_epoch = epoch
+                    best_state = jax.tree_util.tree_map(lambda x: x, state)
+                log_fn(
+                    f"Test mIoU {miou[cam0]:.4f} | Best mIoU {best_miou:.4f} "
+                    f"| Best epoch {best_miou_epoch}"
+                )
+            csvlogger.write_logs(logs)
+            if epoch >= 10 and epoch % cfg.save_every == cfg.save_every - 1:
+                save_ckpt(ckpt_dir, state, epoch)
+
+        save_ckpt(ckpt_dir, best_state, best_miou_epoch)
+        with open(os.path.join(ckpt_dir, "finished.txt"), "w") as f:
+            f.write(f"best miou: {best_miou}\n")
+            f.write(f"best miou epoch: {best_miou_epoch}\n")
+        csvlogger.close()
+        return best_state, best_miou, best_miou_epoch

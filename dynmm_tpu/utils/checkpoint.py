@@ -1,0 +1,92 @@
+"""Checkpoint save/load/resume.
+
+Native format: one msgpack file per checkpoint holding
+``{epoch, params, model_state, opt_state, best_miou, best_miou_epoch}``
+(flax serialization) — the functional twin of the reference's dict
+checkpoints ``{epoch, state_dict, optimizer[, best_miou]}``
+(``FusionDynMM/src/utils.py:118-175``). API mirrors the reference:
+``save_ckpt`` / ``save_ckpt_every_epoch`` / ``load_ckpt`` /
+``get_best_checkpoint`` (CSV-log max lookup, utils.py:178-191).
+
+PyTorch checkpoint *import* lives in ``dynmm_tpu.utils.torch_import``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import flax.serialization
+import jax
+import numpy as np
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_checkpoint(path: str, state: dict, epoch: int, **extra) -> str:
+    payload = {
+        "epoch": epoch,
+        "state": _to_host(state),
+        **{k: _to_host(v) for k, v in extra.items()},
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(payload))
+    return path
+
+
+def load_checkpoint(path: str, target: Optional[dict] = None) -> dict:
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    if target is not None:
+        payload["state"] = flax.serialization.from_state_dict(
+            target, payload["state"]
+        )
+    return payload
+
+
+def save_ckpt(ckpt_dir: str, state: dict, epoch: int) -> str:
+    """Periodic epoch checkpoint: ``ckpt_epoch_{epoch}.msgpack``."""
+    return save_checkpoint(
+        os.path.join(ckpt_dir, f"ckpt_epoch_{epoch}.msgpack"), state, epoch
+    )
+
+
+def save_ckpt_every_epoch(
+    ckpt_dir: str, state: dict, epoch: int, best_miou: float, best_miou_epoch: int
+) -> str:
+    """Rolling resume checkpoint: ``ckpt_latest.msgpack``."""
+    return save_checkpoint(
+        os.path.join(ckpt_dir, "ckpt_latest.msgpack"),
+        state,
+        epoch,
+        best_miou=float(best_miou),
+        best_miou_epoch=int(best_miou_epoch),
+    )
+
+
+def load_ckpt(path: str, target: Optional[dict] = None):
+    """Resume: returns (state, epoch, best_miou, best_miou_epoch)."""
+    payload = load_checkpoint(path, target)
+    return (
+        payload["state"],
+        int(payload["epoch"]),
+        float(payload.get("best_miou", 0.0)),
+        int(payload.get("best_miou_epoch", 0)),
+    )
+
+
+def get_best_checkpoint(ckpt_dir: str, key: str = "mIoU_test") -> str:
+    """Pick the epoch checkpoint with the best CSV-logged metric."""
+    import pandas as pd
+
+    log_file = os.path.join(ckpt_dir, "logs.csv")
+    data = pd.read_csv(log_file)
+    idx = data[key].idxmax()
+    epoch = int(data.epoch[idx])
+    path = os.path.join(ckpt_dir, f"ckpt_epoch_{epoch}.msgpack")
+    assert os.path.exists(path), f"There is no weights file named {path}"
+    print(f"Best {key}: {100 * data[key][idx]:0.2f} at epoch: {epoch}")
+    return path

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Segmentation evaluation CLI — public surface mirrors the reference
+``FusionDynMM/eval.py``:
+
+    python eval.py --dynamic --global-gate --hard --ckpt_path ...
+    python eval.py --dynamic --global-gate --baseline --hard --ckpt_path ...
+    python eval.py ... --num_runs 10 --mode 0|1|2 --noise 0.3   # robustness
+
+Per run r the RNG is reseeded with r (eval.py:78-79); Gaussian noise is
+injected per batch with probability 1/3 scaled by noise·mean(|x|)
+(eval.py:91-102). Reports mean±std mIoU over runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from dynmm_tpu.cli.seg_args import ArgumentParserRGBDSegmentation
+    from dynmm_tpu.cli.seg_build import build_model, prepare_data
+    from dynmm_tpu.core.resource import GateStats
+    from dynmm_tpu.models.skip_gate import flop_table
+    from dynmm_tpu.train.seg import SegTrainConfig, SegTrainer
+
+    parser = ArgumentParserRGBDSegmentation(
+        description="Efficient RGBD Indoor Semantic Segmentation (Evaluation, TPU)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.set_common_args()
+    parser.add_argument("--ckpt_path", required=True, type=str,
+                        help="Path to the checkpoint of the trained model "
+                             "(.msgpack native or .pth torch).")
+    parser.add_argument("--hard", action="store_true",
+                        help="use hard gates during inference time")
+    parser.add_argument("--mode", type=int, default=-1,
+                        help="-1: no noise, 0: rgb, 1: depth, 2: both")
+    parser.add_argument("--num_runs", "--num-runs", type=int, default=1)
+    parser.add_argument("--noise", type=float, default=0.0)
+    parser.add_argument("--ini", action="store_true")
+    args = parser.parse_args()
+
+    args.pretrained_on_imagenet = False
+    _, data_loader = prepare_data(args, with_input_orig=True)
+    n_classes = data_loader.dataset.n_classes_without_void
+
+    model = build_model(args, n_classes)
+    cfg = SegTrainConfig(
+        dynamic=args.dynamic,
+        baseline=args.baseline,
+        soft_eval=not args.hard,
+        modality=args.modality,
+        debug=args.debug,
+    )
+    trainer = SegTrainer(model, cfg, np.ones(n_classes, np.float32))
+
+    sample = next(iter(data_loader))
+    state = trainer.init_state(jax.random.PRNGKey(0), sample)
+    from dynmm_tpu.utils.torch_import import load_any_checkpoint
+
+    state["params"], state["model_state"] = load_any_checkpoint(
+        args.ckpt_path, model, state["params"], state["model_state"]
+    )
+    print(f"Loaded checkpoint from {args.ckpt_path}")
+
+    result = np.zeros(args.num_runs)
+    for r in range(args.num_runs):
+        stats = GateStats() if args.dynamic else None
+        miou, _ = trainer.validate(
+            state,
+            data_loader,
+            noise_mode=args.mode,
+            noise=args.noise,
+            run_seed=r,
+            collect_weights=stats,
+        )
+        camera = list(miou)[0]
+        result[r] = miou[camera] * 100
+        print(f"Run {r}, mIoU: {result[r]:0.2f}")
+        if args.dynamic and args.global_gate and stats is not None and stats.weights.size:
+            table = flop_table(args.encoder, "depth_enc")
+            total = flop_table(args.encoder, "total")
+            print(
+                f"  branch ratios {np.round(stats.branch_ratios(), 3)} | "
+                f"Depth Encoder Flop {stats.selection_flops(table):.4f}G | "
+                f"Total Flop {stats.selection_flops(total):.4f}G"
+            )
+    print(result)
+    print(f"Mean {result.mean():.2f}, Std {result.std():.2f}")
+
+
+if __name__ == "__main__":
+    main()
