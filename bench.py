@@ -28,12 +28,26 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-SCAN_ITERS = 30
+SCAN_ITERS = 10
+
+
+def setup_compilation_cache():
+    """Persist compiled programs across bench runs (first compile of the
+    5-branch switch graph is minutes; later runs are instant)."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def log(msg: str):
@@ -76,6 +90,7 @@ def measure(run, nop, *args, reps: int = 3) -> float:
 
 
 def main():
+    setup_compilation_cache()
     import jax
     import jax.numpy as jnp
 

@@ -26,6 +26,40 @@ RGB_STD = np.array([0.229, 0.224, 0.225], np.float32)
 DOWNSAMPLING_RATES = (8, 16, 32)
 
 
+def _rgb_to_hsv(rgb: np.ndarray) -> np.ndarray:
+    """Vectorized RGB→HSV with h,s ∈ [0,1] and v in the input's scale."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = rgb.max(axis=-1)
+    minc = rgb.min(axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = np.where(maxc > 0, delta / np.maximum(maxc, 1e-12), 0.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dn = np.maximum(delta, 1e-12)
+        h = np.select(
+            [maxc == r, maxc == g],
+            [((g - b) / dn) % 6.0, (b - r) / dn + 2.0],
+            (r - g) / dn + 4.0,
+        )
+    h = np.where(delta > 0, h / 6.0, 0.0)
+    return np.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
+    """Inverse of ``_rgb_to_hsv`` (v stays in its own scale)."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(np.int64) % 6
+    r = np.choose(i, [v, q, p, p, t, v])
+    g = np.choose(i, [t, v, v, q, p, p])
+    b = np.choose(i, [p, p, t, v, v, q])
+    return np.stack([r, g, b], axis=-1)
+
+
 def _resize(img: np.ndarray, width: int, height: int, nearest: bool) -> np.ndarray:
     import cv2
 
@@ -111,15 +145,14 @@ class SegPreprocessor:
         )
 
     def _random_hsv(self, image, rng):
-        import matplotlib.colors
-
-        hsv = matplotlib.colors.rgb_to_hsv(image)
+        # scale-free HSV (v = max channel in the input's own scale, 0..255
+        # here) — matches the matplotlib behavior the reference relied on
+        # (h,s ∈ [0,1], v clipped to [0,255]; preprocessing.py:143-161).
+        hsv = _rgb_to_hsv(image)
         h = np.clip(hsv[:, :, 0] * rng.uniform(0.9, 1.1), 0, 1)
         s = np.clip(hsv[:, :, 1] * rng.uniform(0.9, 1.1), 0, 1)
         v = np.clip(hsv[:, :, 2] + rng.uniform(-25, 25), 0, 255)
-        return matplotlib.colors.hsv_to_rgb(np.stack([h, s, v], axis=2)).astype(
-            np.float32
-        )
+        return _hsv_to_rgb(np.stack([h, s, v], axis=2)).astype(np.float32)
 
     def _random_flip(self, image, depth, label, rng):
         if rng.random() > 0.5:

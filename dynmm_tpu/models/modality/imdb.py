@@ -63,6 +63,15 @@ class IMDBDynMMNet(nn.Module):
         )
         self.gate = MLP(128, self.branch_num, name="gate")
 
+    def init_all(self, inputs):
+        """Init helper touching every submodule (the off-routing image branch is
+        not reached by ``__call__``): use
+        ``model.init(rng, inputs, method=model.init_all)`` when the image
+        branch params must exist (checkpoint import, count_flop)."""
+        out = self(inputs)
+        _ = self.forward_branch(inputs, 2)
+        return out
+
     def gate_weights(self, inputs, temp: float = 1.0, hard: bool = True,
                      train: bool = False):
         x = jnp.concatenate([i.reshape(i.shape[0], -1) for i in inputs], axis=1)

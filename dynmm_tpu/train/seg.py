@@ -76,14 +76,23 @@ class SegTrainConfig:
 
 def onecycle_lr(cfg: SegTrainConfig):
     """Per-epoch OneCycle schedule matching torch OneCycleLR defaults used by
-    the reference."""
-    return optax.cosine_onecycle_schedule(
+    the reference. (optax's onecycle emits NaN for very short runs — smoke
+    tests and debug runs fall back to a constant lr.)"""
+    if cfg.epochs < 5:
+        return lambda epoch: cfg.lr
+    sched = optax.cosine_onecycle_schedule(
         transition_steps=cfg.epochs,
         peak_value=cfg.lr,
         pct_start=0.1,
         div_factor=25.0,
         final_div_factor=1e4,
     )
+
+    def safe(epoch):
+        lr = float(sched(epoch))
+        return lr if np.isfinite(lr) else cfg.lr
+
+    return safe
 
 
 def make_seg_optimizer(cfg: SegTrainConfig, params=None):

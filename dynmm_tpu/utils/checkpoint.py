@@ -22,6 +22,9 @@ import numpy as np
 
 
 def _to_host(tree: Any) -> Any:
+    # to_state_dict first: optimizer states (e.g. optax NamedTuples /
+    # InjectStatefulHyperparamsState) are not msgpack-serializable directly
+    tree = flax.serialization.to_state_dict(tree)
     return jax.tree_util.tree_map(np.asarray, tree)
 
 

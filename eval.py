@@ -19,6 +19,8 @@ import numpy as np
 
 
 def main():
+    from dynmm_tpu.utils.platform import maybe_force_cpu
+    maybe_force_cpu()
     import jax
 
     from dynmm_tpu.cli.seg_args import ArgumentParserRGBDSegmentation

@@ -22,6 +22,8 @@ import numpy as np
 
 
 def main():
+    from dynmm_tpu.utils.platform import maybe_force_cpu
+    maybe_force_cpu()
     from dynmm_tpu.cli.seg_args import ArgumentParserRGBDSegmentation
     from dynmm_tpu.cli.seg_build import (
         build_model,
