@@ -1,0 +1,77 @@
+"""Fused squeeze-and-excite Pallas kernel.
+
+The SE block (global avg-pool → 1×1 reduce → relu → 1×1 expand → sigmoid →
+channelwise scale; ``model_utils.py:36-51``) is memory-bound: the unfused
+graph must stream the feature map from HBM twice (once to reduce, once to
+scale) because the scale depends on a full reduction. This kernel keeps the
+whole map in VMEM and does reduction + tiny matmuls + scaling in one pass —
+≈2× less HBM traffic for every SE-add fusion cell on the ESANet inference
+path.
+
+Applicability: the flagship's SE inputs at 480×640 are ≤ ~5 MB
+(stage 1: 120·160·64·4B) except the stem cell; ``fits_vmem`` gates the
+kernel and callers fall back to the jnp path otherwise.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget: input + output + slack must fit in ~16 MB/core.
+VMEM_LIMIT_BYTES = 12 * 1024 * 1024
+
+
+def fits_vmem(shape, dtype=jnp.float32) -> bool:
+    n = 1
+    for s in shape:
+        n *= s
+    itemsize = jnp.dtype(dtype).itemsize
+    return 2 * n * itemsize < VMEM_LIMIT_BYTES
+
+
+def se_reference(x, w1, b1, w2, b2, activation=jax.nn.relu):
+    """Unfused jnp math (numerical oracle + fallback path).
+
+    x: (..., HW, C); w1: (C, Cr); w2: (Cr, C)."""
+    mean = x.mean(axis=-2, keepdims=True)
+    h = activation(mean @ w1 + b1)
+    s = jax.nn.sigmoid(h @ w2 + b2)
+    return x * s
+
+
+def _se_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
+    x = x_ref[:]
+    mean = jnp.mean(x, axis=0, keepdims=True)  # (1, C)
+    h = jnp.dot(mean, w1_ref[:], preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + b1_ref[:], 0.0)
+    s = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    s = jax.nn.sigmoid(s + b2_ref[:])
+    out_ref[:] = x * s.astype(x.dtype)
+
+
+def fused_se(x, w1, b1, w2, b2, interpret: bool = False):
+    """Single-pass SE over a (HW, C) feature map (relu activation).
+
+    Batched input (B, HW, C) is handled via vmap (Pallas lifts the batch dim
+    into the grid)."""
+    if x.ndim == 3:
+        return jax.vmap(lambda xi: fused_se(xi, w1, b1, w2, b2, interpret))(x)
+    assert x.ndim == 2, x.shape
+    b1 = b1.reshape(1, -1)
+    b2 = b2.reshape(1, -1)
+    return pl.pallas_call(
+        _se_kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, w1, b1, w2, b2)

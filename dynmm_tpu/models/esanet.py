@@ -62,6 +62,7 @@ class ESANetConfig:
     fuse_depth_in_rgb_encoder: str = "SE-add"
     upsampling: str = "learned-3x3-zeropad"
     dtype: Any = None
+    use_pallas: bool = False  # fused SE kernel on the TPU inference path
 
     @property
     def act(self) -> Callable:
@@ -180,21 +181,15 @@ class _DualEncoderParts(nn.Module):
         ch = self.encoder_rgb.down_channels
 
         if cfg.fuse_depth_in_rgb_encoder == "SE-add":
-            self.se_layer0 = SqueezeAndExciteFusionAdd(
-                64, activation=cfg.act, dtype=cfg.dtype, name="se_layer0"
-            )
-            self.se_layer1 = SqueezeAndExciteFusionAdd(
-                ch[4], activation=cfg.act, dtype=cfg.dtype, name="se_layer1"
-            )
-            self.se_layer2 = SqueezeAndExciteFusionAdd(
-                ch[8], activation=cfg.act, dtype=cfg.dtype, name="se_layer2"
-            )
-            self.se_layer3 = SqueezeAndExciteFusionAdd(
-                ch[16], activation=cfg.act, dtype=cfg.dtype, name="se_layer3"
-            )
-            self.se_layer4 = SqueezeAndExciteFusionAdd(
-                ch[32], activation=cfg.act, dtype=cfg.dtype, name="se_layer4"
-            )
+            for i, c in enumerate([64, ch[4], ch[8], ch[16], ch[32]]):
+                setattr(
+                    self,
+                    f"se_layer{i}_mod",
+                    SqueezeAndExciteFusionAdd(
+                        c, activation=cfg.act, dtype=cfg.dtype,
+                        use_pallas=cfg.use_pallas, name=f"se_layer{i}",
+                    ),
+                )
 
         cd = cfg.channels_decoder
         if cfg.encoder_decoder_fusion == "add":
@@ -241,7 +236,7 @@ class _DualEncoderParts(nn.Module):
     def fuse(self, idx: int, rgb, depth):
         if self.cfg.fuse_depth_in_rgb_encoder == "add":
             return rgb + depth
-        return getattr(self, f"se_layer{idx}")(rgb, depth)
+        return getattr(self, f"se_layer{idx}_mod")(rgb, depth)
 
     def skip(self, idx: int, fused, train: bool):
         layer = getattr(self, f"skip_layer{idx}")

@@ -219,13 +219,20 @@ class SkipGateESANet(_DualEncoderParts):
         else:
             k = jnp.argmax(weight[0]).astype(jnp.int32)
 
+        # rgb stage 1 is identical across all 5 paths — hoist it out of the
+        # switch so the MXU has work to overlap with the scalar-core branch
+        # resolution (the gate→switch sync otherwise stalls the pipeline).
+        rgb1 = self.encoder_rgb.layer1(rgb, train)
+
         def make_path(n_fused: int):
             def path(operands):
-                r, d = operands
+                r1, d = operands
                 skips = []
-                fused = r
+                fused = None
                 for i in (1, 2, 3):
-                    r = getattr(self.encoder_rgb, f"layer{i}")(fused, train)
+                    r = r1 if i == 1 else getattr(
+                        self.encoder_rgb, f"layer{i}"
+                    )(fused, train)
                     if i <= n_fused:
                         d = getattr(self.encoder_depth, f"layer{i}")(d, train)
                         fused = self.fuse(i, r, d)
@@ -243,7 +250,7 @@ class SkipGateESANet(_DualEncoderParts):
             return path
 
         fused, s1, s2, s3 = jax.lax.switch(
-            k, [make_path(n) for n in range(5)], (rgb, depth)
+            k, [make_path(n) for n in range(5)], (rgb1, depth)
         )
         out = self.head(fused, [s1, s2, s3], train)
         if return_weight:

@@ -195,30 +195,64 @@ class ConvBN(nn.Module):
         return x
 
 
+class _Conv1x1Params(nn.Module):
+    """Parameter holder for a 1×1 conv (kernel (1,1,Cin,Cout) + bias),
+    layout-identical to ``nn.Conv`` so checkpoint import is unchanged, but
+    exposing the raw arrays for fused kernels."""
+
+    in_channels: int
+    out_channels: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, self.in_channels, self.out_channels),
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+
+
 class SqueezeAndExcitation(nn.Module):
     """Channel recalibration: global pool → 1×1 reduce → act → 1×1 expand →
     sigmoid → scale (``model_utils.py:36-51``).
 
-    The two 1×1 convs act on a (N,1,1,C) tensor — tiny matmuls the TPU
-    executes in one fused VPU/MXU pass; see ``dynmm_tpu.kernels`` for the
-    Pallas-fused variant used on the inference path.
+    The default path expresses the 1×1 convs as matmuls on the pooled (N, C)
+    vector (identical math). ``use_pallas`` routes through the fused
+    single-HBM-pass kernel (``dynmm_tpu.kernels.se``) when the map fits VMEM
+    and the activation is relu — the SE inference hot path.
     """
 
     channels: int
     reduction: int = 16
     activation: Callable = jax.nn.relu
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
-        w = global_avg_pool(x)
-        w = torch_conv(
-            self.channels // self.reduction, 1, dtype=self.dtype, name="fc1"
-        )(w)
-        w = self.activation(w)
-        w = torch_conv(self.channels, 1, dtype=self.dtype, name="fc2")(w)
-        w = jax.nn.sigmoid(w)
-        return x * w
+        fc1 = _Conv1x1Params(self.channels, self.channels // self.reduction, name="fc1")
+        fc2 = _Conv1x1Params(self.channels // self.reduction, self.channels, name="fc2")
+        w1, b1 = fc1.kernel[0, 0], fc1.bias
+        w2, b2 = fc2.kernel[0, 0], fc2.bias
+        if self.dtype is not None:
+            w1, b1, w2, b2 = (a.astype(self.dtype) for a in (w1, b1, w2, b2))
+
+        n, h, wd, c = x.shape
+        if (
+            self.use_pallas
+            and self.activation is jax.nn.relu
+            and jax.default_backend() == "tpu"
+        ):
+            from dynmm_tpu.kernels.se import fits_vmem, fused_se
+
+            if fits_vmem((h * wd, c), x.dtype):
+                y = fused_se(x.reshape(n, h * wd, c), w1, b1, w2, b2)
+                return y.reshape(n, h, wd, c)
+
+        pooled = x.mean(axis=(1, 2))  # (N, C)
+        s = self.activation(pooled @ w1 + b1)
+        s = jax.nn.sigmoid(s @ w2 + b2)
+        return x * s[:, None, None, :]
 
 
 class SqueezeAndExcitationWeight(nn.Module):
@@ -250,14 +284,17 @@ class SqueezeAndExciteFusionAdd(nn.Module):
     channels: int
     activation: Callable = jax.nn.relu
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, rgb, depth):
         rgb = SqueezeAndExcitation(
-            self.channels, activation=self.activation, dtype=self.dtype, name="se_rgb"
+            self.channels, activation=self.activation, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="se_rgb",
         )(rgb)
         depth = SqueezeAndExcitation(
-            self.channels, activation=self.activation, dtype=self.dtype, name="se_depth"
+            self.channels, activation=self.activation, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="se_depth",
         )(depth)
         return rgb + depth
 

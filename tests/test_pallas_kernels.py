@@ -1,0 +1,54 @@
+"""Tests for the Pallas kernels (interpret mode on CPU; compiled-path parity
+is exercised on real TPU by bench.py diagnostics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynmm_tpu.kernels.se import fits_vmem, fused_se, se_reference
+from dynmm_tpu.nn.layers import SqueezeAndExcitation
+
+
+class TestFusedSE:
+    def test_matches_reference_math(self, rng):
+        hw, c, cr = 128, 64, 4
+        x = jnp.asarray(rng.standard_normal((hw, c)).astype(np.float32))
+        w1 = jnp.asarray(rng.standard_normal((c, cr)).astype(np.float32))
+        b1 = jnp.asarray(rng.standard_normal(cr).astype(np.float32))
+        w2 = jnp.asarray(rng.standard_normal((cr, c)).astype(np.float32))
+        b2 = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+        out = fused_se(x, w1, b1, w2, b2, interpret=True)
+        ref = se_reference(x, w1, b1, w2, b2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    def test_batched_via_vmap(self, rng):
+        x = jnp.asarray(rng.standard_normal((3, 64, 32)).astype(np.float32))
+        w1 = jnp.asarray(rng.standard_normal((32, 2)).astype(np.float32))
+        b1 = jnp.zeros(2)
+        w2 = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
+        b2 = jnp.zeros(32)
+        out = fused_se(x, w1, b1, w2, b2, interpret=True)
+        ref = se_reference(x, w1, b1, w2, b2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    def test_fits_vmem_gate(self):
+        assert fits_vmem((120 * 160, 64))       # stage-1 SE input
+        assert not fits_vmem((240 * 320, 64))   # stem-resolution map: too big
+
+    def test_module_math_path_equals_conv_formulation(self, rng):
+        """The SE module's matmul formulation must equal the literal 1×1-conv
+        formulation (what the checkpoint was trained with)."""
+        x = rng.standard_normal((2, 8, 9, 32)).astype(np.float32)
+        m = SqueezeAndExcitation(channels=32)
+        v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        out = m.apply(v, jnp.asarray(x))
+
+        k1 = np.asarray(v["params"]["fc1"]["kernel"])[0, 0]
+        bb1 = np.asarray(v["params"]["fc1"]["bias"])
+        k2 = np.asarray(v["params"]["fc2"]["kernel"])[0, 0]
+        bb2 = np.asarray(v["params"]["fc2"]["bias"])
+        pooled = x.mean(axis=(1, 2))
+        s = 1 / (1 + np.exp(-(np.maximum(pooled @ k1 + bb1, 0) @ k2 + bb2)))
+        ref = x * s[:, None, None, :]
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
