@@ -71,10 +71,15 @@ def make_dataset(args, split: str):
             width=args.width,
             split=split,
         )
-    raise NotImplementedError(
-        f"Dataset {args.dataset} is wired but its converter has not been run; "
-        "see dynmm_tpu/data/prepare_nyuv2.py for the NYUv2 pipeline."
-    )
+    from dynmm_tpu.data.other_datasets import DATASETS
+
+    if args.dataset in DATASETS:
+        return DATASETS[args.dataset](
+            args.dataset_dir,
+            split=split,
+            depth_mode="raw" if args.raw_depth else "refined",
+        )
+    raise NotImplementedError(f"Unknown dataset {args.dataset}")
 
 
 def prepare_data(args, with_input_orig: bool = False):
