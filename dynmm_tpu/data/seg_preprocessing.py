@@ -61,6 +61,12 @@ def _hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
 
 
 def _resize(img: np.ndarray, width: int, height: int, nearest: bool) -> np.ndarray:
+    """cv2-semantics resize; prefers the native C++ kernels (OpenMP, no
+    worker-process pool) and falls back to cv2."""
+    from dynmm_tpu import native
+
+    if native.lib() is not None and img.dtype in (np.float32, np.int32):
+        return native.resize(img, height, width, nearest)
     import cv2
 
     interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
