@@ -222,12 +222,14 @@ class SegLoader:
         shuffle: bool = False,
         drop_last: bool = False,
         seed: int = 0,
+        prefetch: int = 2,
     ):
         self.dataset = dataset
         self.pre = preprocessor
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -236,17 +238,45 @@ class SegLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _make_batch(self, idx):
+        samples = [self.pre(self.dataset[int(i)], self._rng) for i in idx]
+        return self._stack(samples)
+
     def __iter__(self):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             self._rng.shuffle(order)
         bs = self.batch_size
-        n_batches = len(self)
-        for b in range(n_batches):
-            idx = order[b * bs : (b + 1) * bs]
-            samples = [self.pre(self.dataset[int(i)], self._rng) for i in idx]
-            yield self._stack(samples)
+        batches = [order[b * bs : (b + 1) * bs] for b in range(len(self))]
+        if self.prefetch <= 0 or len(batches) <= 1:
+            for idx in batches:
+                yield self._make_batch(idx)
+            return
+        # background-thread prefetch keeps the accelerator fed while the
+        # native/cv2 augmentation runs on host (the reference's 32-worker
+        # DataLoader pool becomes one OpenMP pass + a pipeline thread)
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for idx in batches:
+                    q.put(self._make_batch(idx))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()
 
     @staticmethod
     def _stack(samples: list[dict]) -> dict:

@@ -63,6 +63,7 @@ class ESANetConfig:
     upsampling: str = "learned-3x3-zeropad"
     dtype: Any = None
     use_pallas: bool = False  # fused SE kernel on the TPU inference path
+    remat: bool = False       # rematerialize encoder stages in training
 
     @property
     def act(self) -> Callable:
@@ -162,6 +163,7 @@ def build_encoder(cfg: ESANetConfig, which: str, name: str) -> ResNet:
         activation=cfg.act,
         dtype=cfg.dtype,
         module_name=name,
+        remat=cfg.remat,
     )
 
 

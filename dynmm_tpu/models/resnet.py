@@ -219,6 +219,7 @@ class ResNet(nn.Module):
     input_channels: int = 3
     activation: Callable = jax.nn.relu
     dtype: Optional[Dtype] = None
+    remat: bool = False  # rematerialize stages (jax.checkpoint) for training
 
     @property
     def expansion(self) -> int:
@@ -238,10 +239,13 @@ class ResNet(nn.Module):
         )
         e = self.expansion
         plan = [(64, 1, 64), (128, 2, 64 * e), (256, 2, 128 * e), (512, 2, 256 * e)]
+        stage_cls = (
+            nn.remat(ResNetStage, static_argnums=(2,)) if self.remat else ResNetStage
+        )
         stages = []
         for i, ((planes, stride, in_planes), n) in enumerate(zip(plan, self.layers)):
             stages.append(
-                ResNetStage(
+                stage_cls(
                     self.block,
                     planes,
                     n,
@@ -286,6 +290,7 @@ def make_resnet(
     activation: Callable = jax.nn.relu,
     dtype: Optional[Dtype] = None,
     module_name: Optional[str] = None,
+    remat: bool = False,
 ) -> ResNet:
     """Factory mirroring the reference constructors: ``resnet18/34`` honor the
     ``block`` choice; ``resnet50`` always uses Bottleneck (resnet.py:450-466).
@@ -303,5 +308,6 @@ def make_resnet(
         input_channels=input_channels,
         activation=activation,
         dtype=dtype,
+        remat=remat,
         **kwargs,
     )

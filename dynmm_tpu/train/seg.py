@@ -70,6 +70,7 @@ class SegTrainConfig:
     freeze: bool = False
     soft_eval: bool = False
     dynamic: bool = True
+    global_gate: bool = True  # SkipGateESANet (global) vs SkipESANet (local)
     modality: str = "rgbd"
     debug: bool = False  # one batch per train/valid pass
 
@@ -161,7 +162,11 @@ class SegTrainer:
     def init_state(self, rng, sample_batch) -> dict:
         image = jnp.asarray(sample_batch["image"][:1])
         depth = jnp.asarray(sample_batch["depth"][:1])
-        variables = self.model.init(rng, image, depth, train=False)
+        inputs = self._inputs(image, depth)
+        if self.cfg.dynamic and not self.cfg.global_gate:
+            variables = self.model.init(rng, *inputs, jax.random.PRNGKey(0))
+        else:
+            variables = self.model.init(rng, *inputs, train=False)
         params = variables["params"]
         self.tx = make_seg_optimizer(self.cfg, params)
         return {
@@ -171,10 +176,19 @@ class SegTrainer:
         }
 
     # ------------------------------------------------------------------ steps
+    def _inputs(self, image, depth):
+        """Model positional inputs per modality (rgbd | rgb | depth)."""
+        if self.cfg.modality == "rgbd":
+            return (image, depth)
+        if self.cfg.modality == "rgb":
+            return (image,)
+        return (depth,)
+
     def _model_train_out(self, variables, image, depth, temp, flags, rng):
         """Returns (preds_4scale, loss_flop, new_model_state)."""
         kwargs: dict[str, Any] = {"train": True, "mutable": ["batch_stats"]}
-        if self.cfg.dynamic:
+        inputs = self._inputs(image, depth)
+        if self.cfg.dynamic and self.cfg.global_gate:
             kwargs.update(
                 temp=temp,
                 hard=flags["hard"],
@@ -184,10 +198,17 @@ class SegTrainer:
             if flags["ini"]:
                 kwargs["rng"] = rng
             (preds, loss_flop), new_state = self.model.apply(
-                variables, image, depth, **kwargs
+                variables, *inputs, **kwargs
             )
+        elif self.cfg.dynamic:
+            # local-gate SkipESANet: sampled Gumbel gates (rng), no resource loss
+            kwargs.update(
+                temp=temp, hard=flags["hard"], ini_stage=flags["ini"]
+            )
+            preds, new_state = self.model.apply(variables, *inputs, rng, **kwargs)
+            loss_flop = jnp.zeros(())
         else:
-            preds, new_state = self.model.apply(variables, image, depth, **kwargs)
+            preds, new_state = self.model.apply(variables, *inputs, **kwargs)
             loss_flop = jnp.zeros(())
         return preds, loss_flop, new_state
 
@@ -240,13 +261,20 @@ class SegTrainer:
 
         def step(state, image, depth):
             variables = {"params": state["params"], **state["model_state"]}
-            if self.cfg.dynamic:
+            inputs = self._inputs(image, depth)
+            if self.cfg.dynamic and self.cfg.global_gate:
                 pred, weight = self.model.apply(
-                    variables, image, depth, train=False,
+                    variables, *inputs, train=False,
                     hard=hard, baseline=baseline, return_weight=True,
                 )
+            elif self.cfg.dynamic:
+                pred, weights = self.model.apply(
+                    variables, *inputs, jax.random.PRNGKey(0), train=False,
+                    hard=hard, test=True, return_weights=True,
+                )
+                weight = weights[-1]
             else:
-                pred = self.model.apply(variables, image, depth, train=False)
+                pred = self.model.apply(variables, *inputs, train=False)
                 weight = jnp.zeros((image.shape[0], 0))
             pred_logits = pred
             pred_full = resize_bilinear(pred_logits, (out_h, out_w))

@@ -227,6 +227,36 @@ def import_torch_checkpoint(
     return params, model_state
 
 
+def import_scenenet_pretrain(
+    path: str, params: dict, model_state: dict, context_module: str = "ppm"
+) -> tuple[dict, dict]:
+    """SceneNet-pretrain warm start (build_model.py:180-206): load the torch
+    checkpoint but drop (side-)output heads and the two learned upsamplings
+    (class counts differ), plus the context-module features when the target
+    context module is not ppm/appm."""
+    sd = load_torch_state_dict(path)
+    keys_to_ignore = [
+        k for k in sd
+        if "out" in k or "decoder.upsample1" in k or "decoder.upsample2" in k
+    ]
+    if context_module not in ("ppm", "appm"):
+        keys_to_ignore.extend(k for k in sd if "context_module.features" in k)
+    for k in keys_to_ignore:
+        sd.pop(k)
+    import jax
+
+    t_params, t_stats = state_dict_to_trees(sd)
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    model_state = jax.tree_util.tree_map(lambda x: x, model_state)
+    report: list = []
+    merge_into(params, t_params, report=report)
+    if "batch_stats" in model_state and t_stats:
+        merge_into(model_state["batch_stats"], t_stats, report=report)
+    if report:
+        print(f"scenenet import: {len(report)} unconsumed keys")
+    return params, model_state
+
+
 def load_any_checkpoint(path: str, model, params: dict, model_state: dict):
     """Dispatch native msgpack vs torch checkpoints (used by the CLIs)."""
     if path.endswith((".pth", ".pt")):

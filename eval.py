@@ -53,6 +53,7 @@ def main():
     model = build_model(args, n_classes)
     cfg = SegTrainConfig(
         dynamic=args.dynamic,
+        global_gate=args.global_gate,
         baseline=args.baseline,
         soft_eval=not args.hard,
         modality=args.modality,

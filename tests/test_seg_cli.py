@@ -1,0 +1,82 @@
+"""Subprocess smoke tests for the public train.py / eval.py CLI surface
+(synthetic dataset, tiny config, --debug)."""
+
+import glob
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_FLAGS = [
+    "--dataset", "synthetic", "--height", "64", "--width", "64",
+    "--encoder", "resnet18", "--encoder_block", "BasicBlock",
+    "--decoder_channels_mode", "constant", "--channels_decoder", "32",
+    "--nr_decoder_blocks", "1", "--context_module", "None",
+    "--upsampling", "bilinear", "--batch_size", "2", "--debug",
+]
+
+
+def run_cli(script, args, cwd):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["DYNMM_FORCE_CPU"] = "1"
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, script), *args],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=1200,
+    )
+
+
+@pytest.mark.parametrize(
+    "extra",
+    [
+        ["--dynamic", "--global-gate", "--loss-ratio", "1e-4",
+         "--temp", "1.0", "--end-temp", "0.001", "--epochs", "2",
+         "--eval-every", "1"],
+        ["--epochs", "1", "--eval-every", "1"],  # static ESANet
+        ["--dynamic", "--block-rule", "1122", "--epochs", "1",
+         "--eval-every", "1"],                    # local-gate SkipESANet
+        ["--modality", "rgb", "--epochs", "1", "--eval-every", "1"],
+    ],
+    ids=["skipgate", "static", "skiplocal", "rgb-only"],
+)
+def test_train_cli(tmp_path, extra):
+    result = run_cli("train.py", TINY_FLAGS + extra + ["--results_dir", str(tmp_path)], tmp_path)
+    assert result.returncode == 0, result.stderr[-4000:]
+    assert "Training completed" in result.stdout
+    assert glob.glob(str(tmp_path / "synthetic" / "*" / "logs.csv"))
+
+
+def test_train_then_eval_roundtrip(tmp_path):
+    result = run_cli(
+        "train.py",
+        TINY_FLAGS
+        + ["--dynamic", "--global-gate", "--epochs", "1", "--eval-every", "1",
+           "--results_dir", str(tmp_path)],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    ckpts = glob.glob(str(tmp_path / "synthetic" / "*" / "ckpt_epoch_*.msgpack"))
+    assert ckpts
+
+    result = run_cli(
+        "eval.py",
+        TINY_FLAGS + ["--dynamic", "--global-gate", "--hard",
+                      "--ckpt_path", ckpts[0]],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    assert "Mean" in result.stdout
+
+    # noise-robustness sweep path
+    result = run_cli(
+        "eval.py",
+        TINY_FLAGS + ["--dynamic", "--global-gate", "--hard",
+                      "--ckpt_path", ckpts[0], "--num_runs", "2",
+                      "--mode", "2", "--noise", "0.5"],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    assert "Run 1" in result.stdout

@@ -86,6 +86,7 @@ def main():
         freeze=args.freeze,
         soft_eval=args.soft_eval,
         dynamic=args.dynamic,
+        global_gate=args.global_gate,
         modality=args.modality,
         debug=args.debug,
     )
@@ -105,6 +106,14 @@ def main():
         )
         start_epoch = epoch_last + 1
         print(f"=> loaded checkpoint '{args.last_ckpt}' (epoch {epoch_last})")
+    if args.pretrained_scenenet:
+        from dynmm_tpu.utils.torch_import import import_scenenet_pretrain
+
+        state["params"], state["model_state"] = import_scenenet_pretrain(
+            args.pretrained_scenenet, state["params"], state["model_state"],
+            context_module=args.context_module,
+        )
+        print(f"Loaded pretrained SceneNet weights: {args.pretrained_scenenet}")
     if args.finetune:
         from dynmm_tpu.utils.torch_import import load_any_checkpoint
 
@@ -112,6 +121,13 @@ def main():
             args.finetune, model, state["params"], state["model_state"]
         )
         print(f"Loaded weights for finetuning: {args.finetune}")
+    if args.he_init:
+        from dynmm_tpu.utils.init import apply_he_init
+
+        state["params"] = apply_he_init(
+            state["params"], jax.random.PRNGKey(42), n_classes
+        )
+        print("Applied He init.")
 
     if args.freeze and args.dynamic:
         print("Freeze everything but the soft gates")
