@@ -110,6 +110,25 @@ def prepare_data(args, with_input_orig: bool = False):
     return train_loader, valid_loader
 
 
+def compute_depth_stats(dataset, depth_mode: str = "refined") -> dict:
+    """Train-split depth mean/std (dataset_base.py:210-263): raw mode
+    excludes invalid zero pixels from the statistics."""
+    pixel_sum, pixel_nr = 0.0, 0
+    for i in range(len(dataset)):
+        depth = dataset[i]["depth"] if isinstance(dataset[i], dict) else dataset.load_depth(i)
+        valid = depth[depth > 0] if depth_mode == "raw" else depth.reshape(-1)
+        pixel_sum += float(valid.sum())
+        pixel_nr += valid.size
+    mean = pixel_sum / max(pixel_nr, 1)
+    sq_sum = 0.0
+    for i in range(len(dataset)):
+        depth = dataset[i]["depth"] if isinstance(dataset[i], dict) else dataset.load_depth(i)
+        valid = depth[depth > 0] if depth_mode == "raw" else depth.reshape(-1)
+        sq_sum += float(np.square(valid - mean).sum())
+    std = float(np.sqrt(sq_sum / max(pixel_nr, 1)))
+    return {"mean": mean, "std": std}
+
+
 def compute_class_weights(dataset, n_classes: int, mode: str, c: float = 1.02):
     """Class weights over a map-style dataset (dataset_base.py:147-208):
     linear = pixel counts; median_frequency = median(freq)/freq with freq =
