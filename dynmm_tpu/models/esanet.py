@@ -64,6 +64,7 @@ class ESANetConfig:
     dtype: Any = None
     use_pallas: bool = False  # fused SE kernel on the TPU inference path
     remat: bool = False       # rematerialize encoder stages in training
+    s2d_stem: bool = True     # space-to-depth stem conv (MXU-dense, same math)
 
     @property
     def act(self) -> Callable:
@@ -164,6 +165,7 @@ def build_encoder(cfg: ESANetConfig, which: str, name: str) -> ResNet:
         dtype=cfg.dtype,
         module_name=name,
         remat=cfg.remat,
+        s2d_stem=cfg.s2d_stem,
     )
 
 

@@ -171,6 +171,50 @@ _BLOCKS = {
 }
 
 
+class _StemKernel(nn.Module):
+    """Parameter holder for the 7×7/2 stem conv kernel (HWIO), layout-
+    identical to ``nn.Conv``'s param so checkpoint import/export and init
+    distributions are unchanged."""
+
+    in_channels: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, self.in_channels, 64)
+        )
+
+
+def _s2d_kernel(w: jax.Array) -> jax.Array:
+    """Re-tile a (7,7,C,64) stride-2 pad-3 stem kernel into the equivalent
+    (4,4,4C,64) kernel over 2×2 space-to-depth-packed input.
+
+    Derivation: with t = u−3 ∈ [−3,3], the source index 2i+t packs to
+    (i + ⌊t/2⌋, t mod 2); each (tap a=⌊t/2⌋+2, parity r=t mod 2) pair is hit
+    by exactly one t, so the mapping is a scatter of the original taps.
+    Packed-channel order: (r, s, c) → r*2C + s*C + c.
+    """
+    c, o = w.shape[2], w.shape[3]
+    out = jnp.zeros((4, 4, 4 * c, o), dtype=w.dtype)
+    for u in range(7):
+        t = u - 3
+        a, r = (t // 2) + 2, t % 2
+        for v in range(7):
+            tv = v - 3
+            b, s = (tv // 2) + 2, tv % 2
+            out = out.at[a, b, (r * 2 + s) * c : (r * 2 + s) * c + c, :].set(
+                w[u, v]
+            )
+    return out
+
+
+def _space_to_depth(x: jax.Array) -> jax.Array:
+    """(N, H, W, C) → (N, H/2, W/2, 4C) with channel order (r, s, c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # n, h2, w2, r, s, c
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
 class ResNetStage(nn.Module):
     """One residual stage: ``n_blocks`` blocks, first with stride/downsample."""
 
@@ -220,6 +264,7 @@ class ResNet(nn.Module):
     activation: Callable = jax.nn.relu
     dtype: Optional[Dtype] = None
     remat: bool = False  # rematerialize stages (jax.checkpoint) for training
+    s2d_stem: bool = False  # space-to-depth stem (see ``stem``)
 
     @property
     def expansion(self) -> int:
@@ -231,9 +276,10 @@ class ResNet(nn.Module):
         return {2: 64, 4: 64 * e, 8: 128 * e, 16: 256 * e, 32: 512 * e}
 
     def setup(self):
-        self.conv1 = torch_conv(
-            64, 7, stride=2, padding=3, use_bias=False, dtype=self.dtype, name="conv1"
-        )
+        # raw 7×7 stem kernel (same param tree as nn.Conv: conv1/kernel) so the
+        # space-to-depth path can re-tile it; the conv itself is applied in
+        # ``stem`` via lax.conv_general_dilated.
+        self.conv1 = _StemKernel(self.input_channels, name="conv1")
         self.bn1 = nn.BatchNorm(
             momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype, name="bn1"
         )
@@ -259,7 +305,31 @@ class ResNet(nn.Module):
         self.stages = stages
 
     def stem(self, x, train: bool = False):
-        x = self.conv1(x)
+        """7×7/2 conv (pad 3) + BN + act — the reference's
+        ``forward_first_conv``. When ``s2d_stem`` is set and the input is
+        even-sized, the conv runs as a mathematically-identical 4×4 conv over
+        2×2 space-to-depth-packed input: 3-channel convs waste the 128-wide
+        MXU, the packed 12-channel form is ~4× denser."""
+        w = self.conv1.kernel
+        if self.dtype is not None:
+            w = w.astype(self.dtype)
+            x = x.astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        if self.s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            xp = _space_to_depth(x)
+            wp = _s2d_kernel(w)
+            dnp = jax.lax.conv_dimension_numbers(
+                xp.shape, wp.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            x = jax.lax.conv_general_dilated(
+                xp, wp, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+                dimension_numbers=dnp,
+            )
+        else:
+            x = jax.lax.conv_general_dilated(
+                x, w, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                dimension_numbers=dn,
+            )
         x = self.bn1(x, use_running_average=not train)
         return self.activation(x)
 
@@ -291,6 +361,7 @@ def make_resnet(
     dtype: Optional[Dtype] = None,
     module_name: Optional[str] = None,
     remat: bool = False,
+    s2d_stem: bool = False,
 ) -> ResNet:
     """Factory mirroring the reference constructors: ``resnet18/34`` honor the
     ``block`` choice; ``resnet50`` always uses Bottleneck (resnet.py:450-466).
@@ -309,5 +380,6 @@ def make_resnet(
         activation=activation,
         dtype=dtype,
         remat=remat,
+        s2d_stem=s2d_stem,
         **kwargs,
     )

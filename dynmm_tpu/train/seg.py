@@ -148,15 +148,31 @@ def _set_lr(opt_state, lr):
 
 
 class SegTrainer:
-    """Engine for ESANet-family models (static or gated)."""
+    """Engine for ESANet-family models (static or gated).
 
-    def __init__(self, model, cfg: SegTrainConfig, class_weights: np.ndarray):
+    Pass a ``jax.sharding.Mesh`` (axes 'data'[, 'model']) to scale out:
+    batches shard over 'data', params replicate (GSPMD inserts the gradient
+    all-reduce), wide kernels optionally shard over 'model'. The reference has
+    no distributed training at all (SURVEY §2.4) — this is the TPU-native
+    scale-out path validated by ``__graft_entry__.dryrun_multichip``.
+    """
+
+    def __init__(self, model, cfg: SegTrainConfig, class_weights: np.ndarray,
+                 mesh=None):
         self.model = model
         self.cfg = cfg
         self.class_weights = jnp.asarray(class_weights, jnp.float32)
         self._train_steps: dict = {}
         self._eval_steps: dict = {}
         self.tx = None
+        self.mesh = mesh
+
+    def _maybe_shard_batch(self, *arrays):
+        if self.mesh is None:
+            return arrays
+        from dynmm_tpu.parallel import shard_batch
+
+        return shard_batch(arrays, self.mesh)
 
     # ------------------------------------------------------------------ state
     def init_state(self, rng, sample_batch) -> dict:
@@ -169,11 +185,18 @@ class SegTrainer:
             variables = self.model.init(rng, *inputs, train=False)
         params = variables["params"]
         self.tx = make_seg_optimizer(self.cfg, params)
-        return {
+        state = {
             "params": params,
             "model_state": {k: v for k, v in variables.items() if k != "params"},
             "opt_state": self.tx.init(params),
         }
+        if self.mesh is not None:
+            from dynmm_tpu.parallel import replicate, shard_params
+
+            state["params"] = shard_params(state["params"], self.mesh)
+            state["opt_state"] = shard_params(state["opt_state"], self.mesh)
+            state["model_state"] = replicate(state["model_state"], self.mesh)
+        return state
 
     # ------------------------------------------------------------------ steps
     def _inputs(self, image, depth):
@@ -296,20 +319,26 @@ class SegTrainer:
         t0 = time.time()
         totals, per_scales, flops = [], [], []
         rng = jax.random.PRNGKey(epoch)
+        import contextlib
+
+        def mesh_ctx():
+            return (
+                jax.set_mesh(self.mesh) if self.mesh is not None
+                else contextlib.nullcontext()
+            )
+
         for i, batch in enumerate(loader):
             rng, sub = jax.random.split(rng)
             targets = [jnp.asarray(batch["label"])] + [
                 jnp.asarray(batch["label_down"][r]) for r in DOWN_RATES
             ]
-            state, total, per_scale, loss_flop = step(
-                state,
-                jnp.asarray(batch["image"]),
-                jnp.asarray(batch["depth"]),
-                targets,
-                lr,
-                temp,
-                sub,
+            image, depth, *targets = self._maybe_shard_batch(
+                jnp.asarray(batch["image"]), jnp.asarray(batch["depth"]), *targets
             )
+            with mesh_ctx():
+                state, total, per_scale, loss_flop = step(
+                    state, image, depth, targets, lr, temp, sub
+                )
             total = float(total)
             if np.isnan(total):
                 raise ValueError("Loss is None")
