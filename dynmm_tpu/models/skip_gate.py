@@ -195,6 +195,69 @@ class SkipGateESANet(_DualEncoderParts):
             return out, weight
         return out
 
+    # ------------------------------------------------ batched adaptive skips
+    def forward_switch_batched(
+        self,
+        rgb,
+        depth,
+        temp: float = 1.0,
+        baseline: bool = False,
+        return_weight: bool = False,
+    ):
+        """Hard-gate batched inference with batch-adaptive depth skipping.
+
+        Per-sample mixing is identical to the dense forward (so results are
+        bit-equal), but the depth encoder only runs stages 1..max(k) over the
+        batch: ``lax.switch`` on the *batch maximum* path selects one of 5
+        subgraphs in which stages beyond max(k) — where every sample's fused
+        weight is zero — are skipped entirely. With the paper's trained gates
+        most batches choose cheap paths, so this recovers the FLOP savings
+        that plain dense execution throws away.
+        """
+        train = False
+        rgb, depth = self._stems(rgb, depth, train)
+        weight = self.gate_weights(rgb, depth, temp=temp, hard=True,
+                                   train=train, baseline=baseline)
+        k_max = jnp.max(jnp.argmax(weight, axis=-1)).astype(jnp.int32)
+        rgb1 = self.encoder_rgb.layer1(rgb, train)
+
+        def make_path(n_fused: int):
+            def path(operands):
+                r1, d, w = operands
+                skips = []
+                fused = None
+                for i in (1, 2, 3):
+                    r = r1 if i == 1 else getattr(
+                        self.encoder_rgb, f"layer{i}"
+                    )(fused, train)
+                    if i <= n_fused:
+                        d = getattr(self.encoder_depth, f"layer{i}")(d, train)
+                        branch_fuse = self.fuse(i, r, d)
+                        wi = w[:, :i].sum(axis=1)[:, None, None, None]
+                        fused = wi * r + (1.0 - wi) * branch_fuse
+                    else:
+                        fused = r
+                    skips.append(self.skip(i, fused, train))
+                r = self.encoder_rgb.layer4(fused, train)
+                if n_fused >= 4:
+                    d = self.encoder_depth.layer4(d, train)
+                    branch_fuse = self.fuse(4, r, d)
+                    w4 = w[:, 4][:, None, None, None]
+                    fused = (1.0 - w4) * r + w4 * branch_fuse
+                else:
+                    fused = r
+                return fused, skips[0], skips[1], skips[2]
+
+            return path
+
+        fused, s1, s2, s3 = jax.lax.switch(
+            k_max, [make_path(n) for n in range(5)], (rgb1, depth, weight)
+        )
+        out = self.head(fused, [s1, s2, s3], train)
+        if return_weight:
+            return out, weight
+        return out
+
     # ------------------------------------------------------ hard, real skips
     def forward_switch(
         self,
