@@ -113,14 +113,20 @@ def main():
     rgb8 = jnp.tile(rgb, (bs, 1, 1, 1))
     depth8 = jnp.tile(depth, (bs, 1, 1, 1))
 
-    # Headline: batched hard-gate eval throughput (the reference evaluates
-    # with DataLoader batches; dense execution with hard one-hot weights is
-    # bit-equivalent to routed execution).
+    # Headline: batched hard-gate eval throughput via batch-adaptive routing
+    # (bit-equal to dense hard-gate eval — tests/test_switch_batched.py — but
+    # depth stages beyond the batch's max selected path are skipped).
     fd = make_scan_bench(
-        lambda v, r, d: model.apply(v, r, d, train=False, hard=True)
+        lambda v, r, d: model.apply(v, r, d, method=model.forward_switch_batched)
     )
     td = measure(fd, nop, variables, rgb8, depth8)
-    log(f"bs={bs} dense hard: {td*1e3:.2f} ms/batch ({bs/td:.1f} fps)")
+    log(f"bs={bs} routed hard: {td*1e3:.2f} ms/batch ({bs/td:.1f} fps)")
+
+    fdd = make_scan_bench(
+        lambda v, r, d: model.apply(v, r, d, train=False, hard=True)
+    )
+    tdd = measure(fdd, nop, variables, rgb8, depth8, reps=1)
+    log(f"bs={bs} dense hard: {tdd*1e3:.2f} ms/batch ({bs/tdd:.1f} fps)")
 
     # Baseline: static ESANet compute (always-fuse) at the same batch.
     fb = make_scan_bench(

@@ -82,6 +82,7 @@ class DecoderModule(nn.Module):
     encoder_decoder_fusion: str = "add"
     activation: Callable = jax.nn.relu
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
@@ -101,7 +102,7 @@ class DecoderModule(nn.Module):
         )(out)
         out = Upsample(
             mode=self.upsampling_mode, channels=self.channels_dec,
-            dtype=self.dtype, name="upsample",
+            dtype=self.dtype, use_pallas=self.use_pallas, name="upsample",
         )(out)
         if self.encoder_decoder_fusion == "add" and skip is not None:
             out = out + skip
@@ -119,6 +120,7 @@ class Decoder(nn.Module):
     encoder_decoder_fusion: str = "add"
     activation: Callable = jax.nn.relu
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, enc_outs, train: bool = False):
@@ -126,17 +128,17 @@ class Decoder(nn.Module):
         out, down_32 = DecoderModule(
             self.channels_decoder[0], self.nr_decoder_blocks[0], self.num_classes,
             self.upsampling_mode, self.encoder_decoder_fusion, self.activation,
-            self.dtype, name="decoder_module_1",
+            self.dtype, self.use_pallas, name="decoder_module_1",
         )(enc_out, skip_16, train)
         out, down_16 = DecoderModule(
             self.channels_decoder[1], self.nr_decoder_blocks[1], self.num_classes,
             self.upsampling_mode, self.encoder_decoder_fusion, self.activation,
-            self.dtype, name="decoder_module_2",
+            self.dtype, self.use_pallas, name="decoder_module_2",
         )(out, skip_8, train)
         out, down_8 = DecoderModule(
             self.channels_decoder[2], self.nr_decoder_blocks[2], self.num_classes,
             self.upsampling_mode, self.encoder_decoder_fusion, self.activation,
-            self.dtype, name="decoder_module_3",
+            self.dtype, self.use_pallas, name="decoder_module_3",
         )(out, skip_4, train)
 
         out = torch_conv(
@@ -144,11 +146,11 @@ class Decoder(nn.Module):
         )(out)
         out = Upsample(
             mode=self.upsampling_mode, channels=self.num_classes, dtype=self.dtype,
-            name="upsample1",
+            use_pallas=self.use_pallas, name="upsample1",
         )(out)
         out = Upsample(
             mode=self.upsampling_mode, channels=self.num_classes, dtype=self.dtype,
-            name="upsample2",
+            use_pallas=self.use_pallas, name="upsample2",
         )(out)
         if train:
             return out, down_8, down_16, down_32
@@ -233,6 +235,7 @@ class _DualEncoderParts(nn.Module):
             encoder_decoder_fusion=cfg.encoder_decoder_fusion,
             activation=cfg.act,
             dtype=cfg.dtype,
+            use_pallas=cfg.use_pallas,
             name="decoder",
         )
 

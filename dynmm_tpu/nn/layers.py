@@ -381,44 +381,73 @@ def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     return jax.image.resize(x, (n, out_hw[0], out_hw[1], c), method="linear")
 
 
+class _DepthwiseParams(nn.Module):
+    """Param holder for a depthwise 3×3 conv ((3,3,1,C) kernel + bias),
+    layout-identical to ``nn.Conv(feature_group_count=C)`` for checkpoint
+    parity, initialized to the bilinear-mimicking kernel."""
+
+    channels: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            lambda key, shape=None: _bilinear_3x3_kernel(self.channels),
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+
+
 class Upsample(nn.Module):
     """×2 upsampling: 'nearest' | 'bilinear' | 'learned-3x3' | 'learned-3x3-zeropad'.
 
     The learned variants do nearest ×2 followed by a depthwise 3×3 conv
     initialized to the bilinear kernel (``model.py:360-410``). 'learned-3x3'
     replication-pads by 1 then convs valid; '-zeropad' zero-pads inside conv.
+
+    ``use_pallas`` routes the zeropad variant through the fused Pallas kernel
+    (``dynmm_tpu.kernels.upsample``) which never materializes the 4×-larger
+    nearest intermediate — the decoder's dominant HBM-traffic term.
     """
 
     mode: str
     channels: Optional[int] = None
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         h, w = x.shape[1] * 2, x.shape[2] * 2
         if "learned-3x3" in self.mode:
-            x = resize_nearest(x, (h, w))
             c = x.shape[-1]
-            kernel_init = lambda key, shape, dtype=jnp.float32: _bilinear_3x3_kernel(
-                c, dtype
-            )
+            p = _DepthwiseParams(c, name="conv")
+            kernel = p.kernel  # (3, 3, 1, C)
+            bias = p.bias
+            if self.dtype is not None:
+                kernel = kernel.astype(self.dtype)
+                bias = bias.astype(self.dtype)
+                x = x.astype(self.dtype)
+            if (
+                self.mode == "learned-3x3-zeropad"
+                and self.use_pallas
+                and jax.default_backend() == "tpu"
+                and x.shape[1] % 2 == 0
+            ):
+                from dynmm_tpu.kernels.upsample import fused_learned_upsample
+
+                return fused_learned_upsample(x, kernel[:, :, 0, :], bias)
+            x = resize_nearest(x, (h, w))
             if self.mode == "learned-3x3":
                 x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
                 padding = 0
             else:  # learned-3x3-zeropad
                 padding = 1
-            x = nn.Conv(
-                features=c,
-                kernel_size=(3, 3),
-                padding=((padding, padding), (padding, padding)),
-                feature_group_count=c,
-                use_bias=True,
-                kernel_init=kernel_init,
-                bias_init=nn.initializers.zeros,
-                dtype=self.dtype,
-                name="conv",
-            )(x)
-            return x
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            x = jax.lax.conv_general_dilated(
+                x, kernel, (1, 1), ((padding, padding), (padding, padding)),
+                dimension_numbers=dn, feature_group_count=c,
+            )
+            return x + bias
         elif self.mode == "nearest":
             return resize_nearest(x, (h, w))
         elif self.mode == "bilinear":
