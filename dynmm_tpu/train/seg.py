@@ -475,7 +475,10 @@ class SegTrainer:
                 f"Flop loss {logs['loss_flop']:.4f} | Temperature {temp:.5f} | lr {lr:.6f}"
             )
             if epoch == start_epoch or epoch % cfg.eval_every == 0:
-                miou, logs = self.validate(state, valid_loader, logs)
+                miou, logs = self.validate(
+                    state, valid_loader, logs,
+                    valid_loss=StreamingValidLoss(self.class_weights),
+                )
                 cam0 = cameras[0]
                 if miou[cam0] > best_miou:
                     best_miou = miou[cam0]
