@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--freeze", action="store_true")
     ap.add_argument("--data-path", type=str, default="./data/mosei_senti_data.pkl")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--robust", action="store_true",
+                    help="noise-robustness sweep over the test set")
+    ap.add_argument("--measure", action="store_true",
+                    help="measure inference latency (test_time harness)")
     args = ap.parse_args()
 
     if args.synthetic or not os.path.exists(args.data_path):
@@ -119,6 +123,36 @@ def main():
             f"| Corr {metrics['corr']:.3f} | Total Flops {flops:.2f}M | ratio {ratio:.3f}"
         )
         log[n] = metrics["accuracy"], metrics["loss"], metrics["corr"], flops, ratio
+
+        if args.robust:
+            from dynmm_tpu.train.robustness import (
+                relative_robustness, robustness_sweep)
+
+            curves = robustness_sweep(
+                lambda l: hard_trainer.evaluate(state, l),
+                test_loader,
+                {"visual": [0], "audio": [1], "text": [2]},
+            )
+            for mod, curve in curves.items():
+                rr = relative_robustness(curve["accuracy"])
+                print(f"robustness ({mod}): accuracy curve "
+                      f"{[round(v, 3) for v in curve['accuracy']]} | "
+                      f"relative robustness {rr:.3f}")
+        if args.measure:
+            import jax as _jax
+            from dynmm_tpu.utils.profiling import test_time
+
+            fwd = _jax.jit(lambda b: model.apply(
+                {"params": state["params"], **state["model_state"]},
+                b["inputs"], b["lengths"], hard=True)[0])
+            mean, std = test_time(
+                fwd, test_loader,
+                lambda b: {
+                    "inputs": [_jax.numpy.asarray(x) for x in b.inputs],
+                    "lengths": [_jax.numpy.asarray(l) for l in b.lengths],
+                },
+            )
+            print(f"Time measured over 10 reps: {mean:.4f} ± {std:.4f}s per pass")
 
     print("-" * 60)
     print(f"Finish {args.n_runs} runs")

@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--infer-mode", type=int, default=0)
     ap.add_argument("--data-path", type=str, default="./data/multimodal_imdb.hdf5")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--robust", action="store_true",
+                    help="noise-robustness sweep over the test set")
+    ap.add_argument("--measure", action="store_true",
+                    help="measure inference latency (test_time harness)")
     args = ap.parse_args()
 
     if args.synthetic or not os.path.exists(args.data_path):
@@ -116,6 +120,33 @@ def main():
         )
         log1[n] = ratio
         log2[n] = metrics["f1_micro"], metrics["f1_macro"], flops
+
+        if args.robust:
+            from dynmm_tpu.train.robustness import (
+                relative_robustness, robustness_sweep)
+
+            curves = robustness_sweep(
+                lambda l: hard_trainer.evaluate(state, l),
+                test_loader,
+                {"text": [0], "image": [1], "both": [0, 1]},
+            )
+            for mod, curve in curves.items():
+                rr = relative_robustness(curve["f1_macro"])
+                print(f"robustness ({mod}): f1_macro curve "
+                      f"{[round(v, 3) for v in curve['f1_macro']]} | "
+                      f"relative robustness {rr:.3f}")
+        if args.measure:
+            import jax as _jax
+            from dynmm_tpu.utils.profiling import test_time
+
+            fwd = _jax.jit(lambda b: model.apply(
+                {"params": state["params"], **state["model_state"]},
+                b["inputs"], hard=True)[0])
+            mean, std = test_time(
+                fwd, test_loader,
+                lambda b: {"inputs": [_jax.numpy.asarray(x) for x in b.inputs]},
+            )
+            print(f"Time measured over 10 reps: {mean:.4f} ± {std:.4f}s per pass")
 
     print("-" * 60)
     print(f"Finish {args.n_runs} runs")
