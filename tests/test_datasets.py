@@ -1,0 +1,130 @@
+"""Dataset pipeline tests: the NYUv2 .mat converter round-trips through the
+prepared-layout reader; secondary datasets read the same layout with their
+own constants."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+h5py = pytest.importorskip("h5py")
+
+
+def make_fake_nyu_mat(tmp_path, n=3, h=24, w=32):
+    """Synthesize nyu_depth_v2_labeled.mat + splits.mat + classMapping40.mat
+    with the official layouts (images (N,3,W,H), depths/labels (N,W,H))."""
+    from scipy.io import savemat
+
+    rng = np.random.default_rng(0)
+    mat = tmp_path / "nyu_depth_v2_labeled.mat"
+    with h5py.File(mat, "w") as f:
+        f["images"] = rng.integers(0, 255, (n, 3, w, h), dtype=np.uint8)
+        f["depths"] = rng.random((n, w, h)).astype(np.float32) * 9.0
+        f["rawDepths"] = rng.random((n, w, h)).astype(np.float32) * 9.0
+        f["labels"] = rng.integers(0, 895, (n, w, h)).astype(np.uint16)
+    savemat(tmp_path / "splits.mat", {
+        "trainNdxs": np.array([[1], [3]]),
+        "testNdxs": np.array([[2]]),
+    })
+    savemat(tmp_path / "classMapping40.mat", {
+        "mapClass": (np.arange(894) % 40 + 1).astype(np.uint16)[None, :],
+    })
+    return mat
+
+
+class TestPrepareNYUv2:
+    def test_convert_and_read_back(self, tmp_path):
+        from dynmm_tpu.data.nyuv2 import NYUv2Dataset
+        from dynmm_tpu.data.prepare_nyuv2 import convert
+
+        make_fake_nyu_mat(tmp_path)
+        out = tmp_path / "prepared"
+        convert(
+            str(out),
+            str(tmp_path / "nyu_depth_v2_labeled.mat"),
+            str(tmp_path / "splits.mat"),
+            str(tmp_path / "classMapping40.mat"),
+        )
+        train = NYUv2Dataset(str(out), split="train")
+        test = NYUv2Dataset(str(out), split="test")
+        assert len(train) == 2 and len(test) == 1
+        s = train[0]
+        assert s["image"].shape == (24, 32, 3)
+        assert s["depth"].shape == (24, 32)
+        assert s["label"].shape == (24, 32)
+        assert s["label"].max() <= 40
+        # depth is mm uint16 content
+        assert s["depth"].max() <= 9000 + 1
+
+    def test_raw_depth_mode(self, tmp_path):
+        from dynmm_tpu.data.nyuv2 import NYUv2Dataset
+        from dynmm_tpu.data.prepare_nyuv2 import convert
+
+        make_fake_nyu_mat(tmp_path)
+        out = tmp_path / "prepared"
+        convert(
+            str(out),
+            str(tmp_path / "nyu_depth_v2_labeled.mat"),
+            str(tmp_path / "splits.mat"),
+            str(tmp_path / "classMapping40.mat"),
+        )
+        raw = NYUv2Dataset(str(out), split="train", depth_mode="raw")
+        assert raw[0]["depth"].shape == (24, 32)
+
+
+class TestSecondaryDatasets:
+    def _write_prepared(self, root, label_dir, n_classes, h=16, w=20):
+        rng = np.random.default_rng(1)
+        for sub in ("rgb", "depth", label_dir):
+            os.makedirs(os.path.join(root, "test", sub), exist_ok=True)
+        names = []
+        for i in range(2):
+            name = f"{i:04d}"
+            names.append(name)
+            cv2.imwrite(
+                os.path.join(root, "test", "rgb", f"{name}.png"),
+                rng.integers(0, 255, (h, w, 3), dtype=np.uint8),
+            )
+            cv2.imwrite(
+                os.path.join(root, "test", "depth", f"{name}.png"),
+                rng.integers(0, 5000, (h, w), dtype=np.uint16),
+            )
+            cv2.imwrite(
+                os.path.join(root, "test", label_dir, f"{name}.png"),
+                rng.integers(0, n_classes + 1, (h, w), dtype=np.uint8),
+            )
+        with open(os.path.join(root, "test.txt"), "w") as f:
+            f.write("\n".join(names) + "\n")
+
+    def test_sunrgbd(self, tmp_path):
+        from dynmm_tpu.data.other_datasets import SUNRGBDDataset
+
+        self._write_prepared(str(tmp_path), "labels_37", 37)
+        ds = SUNRGBDDataset(str(tmp_path), split="test")
+        assert ds.n_classes_without_void == 37
+        assert ds.cameras == ("realsense", "kv2", "kv1", "xtion")
+        assert ds.depth_mean > 10000  # SUNRGBD-specific stats
+        s = ds[0]
+        assert s["image"].shape == (16, 20, 3)
+
+    def test_cityscapes(self, tmp_path):
+        from dynmm_tpu.data.other_datasets import CityscapesDataset
+
+        self._write_prepared(str(tmp_path), "labels_19", 19)
+        ds = CityscapesDataset(str(tmp_path), split="test", depth_mode="refined")
+        assert ds.n_classes_without_void == 19
+        assert ds[0]["label"].max() <= 19
+
+    def test_seg_pipeline_over_prepared_data(self, tmp_path):
+        """Full path: prepared pngs → preprocessor → batched loader."""
+        from dynmm_tpu.data.other_datasets import SUNRGBDDataset
+        from dynmm_tpu.data.seg_preprocessing import SegLoader, SegPreprocessor
+
+        self._write_prepared(str(tmp_path), "labels_37", 37)
+        ds = SUNRGBDDataset(str(tmp_path), split="test")
+        pre = SegPreprocessor(ds.depth_mean, ds.depth_std, 16, 16, phase="test")
+        loader = SegLoader(ds, pre, batch_size=2)
+        batch = next(iter(loader))
+        assert batch["image"].shape == (2, 16, 16, 3)
+        assert batch["label_orig"].shape == (2, 16, 20)
