@@ -92,6 +92,12 @@ class ArgumentParserRGBDSegmentation(argparse.ArgumentParser):
         self.add_argument("--raw_depth", action="store_true", default=False)
         self.add_argument("--aug_scale_min", default=1.0, type=float)
         self.add_argument("--aug_scale_max", default=1.4, type=float)
+        # TPU execution options (no reference equivalent)
+        self.add_argument("--dtype", default="float32",
+                          choices=["float32", "bfloat16"],
+                          help="compute dtype (params stay float32)")
+        self.add_argument("--use-pallas", action="store_true",
+                          help="enable fused Pallas kernels on the TPU path")
         # others
         self.add_argument("-j", "--workers", default=8, type=int, metavar="N")
         self.add_argument("--debug", default=False, action="store_true",

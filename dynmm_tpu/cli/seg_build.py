@@ -19,6 +19,9 @@ def build_config(args, n_classes: int) -> ESANetConfig:
     encoder_depth = args.encoder_depth
     if encoder_depth in (None, "None"):
         encoder_depth = args.encoder
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if getattr(args, "dtype", "float32") == "bfloat16" else None
     return ESANetConfig(
         height=args.height,
         width=args.width,
@@ -33,6 +36,8 @@ def build_config(args, n_classes: int) -> ESANetConfig:
         context_module=args.context_module,
         fuse_depth_in_rgb_encoder=args.fuse_depth_in_rgb_encoder,
         upsampling=args.upsampling,
+        dtype=dtype,
+        use_pallas=getattr(args, "use_pallas", False),
     )
 
 

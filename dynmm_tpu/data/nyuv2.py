@@ -45,7 +45,15 @@ def class_colors(n: int = N_CLASSES + 1, seed: int = 1) -> np.ndarray:
 
 
 class NYUv2Dataset:
-    """Map-style access to the prepared on-disk dataset."""
+    """Map-style access to the prepared on-disk dataset.
+
+    Multi-camera datasets (SUNRGBD) can ship an optional
+    ``{split}_cameras.txt`` (one camera name per sample line); the
+    ``filter_camera`` context manager then narrows the dataset to one
+    camera's samples — the reference's per-camera validation protocol
+    (``dataset_base.py:20-29``, ``train.py:402-409``). Without the file every
+    sample belongs to the first camera.
+    """
 
     def __init__(
         self,
@@ -63,6 +71,33 @@ class NYUv2Dataset:
         list_file = os.path.join(root, f"{split}.txt")
         with open(list_file) as f:
             self.ids = [line.strip() for line in f if line.strip()]
+        self._all_ids = list(self.ids)
+        cam_file = os.path.join(root, f"{split}_cameras.txt")
+        if os.path.exists(cam_file):
+            with open(cam_file) as f:
+                self.sample_cameras = [l.strip() for l in f if l.strip()]
+            assert len(self.sample_cameras) == len(self.ids)
+        else:
+            self.sample_cameras = None
+
+    def filter_camera(self, camera: str):
+        """Context manager narrowing the dataset to one camera's samples."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def ctx():
+            saved = self.ids
+            if self.sample_cameras is not None:
+                self.ids = [
+                    i for i, cam in zip(self._all_ids, self.sample_cameras)
+                    if cam == camera
+                ]
+            try:
+                yield self
+            finally:
+                self.ids = saved
+
+        return ctx()
 
     def __len__(self) -> int:
         return len(self.ids)

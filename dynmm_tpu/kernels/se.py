@@ -43,35 +43,39 @@ def se_reference(x, w1, b1, w2, b2, activation=jax.nn.relu):
 
 
 def _se_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
-    x = x_ref[:]
+    x = x_ref[0]  # (HW, C) — grid streams one sample per step
     mean = jnp.mean(x, axis=0, keepdims=True)  # (1, C)
     h = jnp.dot(mean, w1_ref[:], preferred_element_type=jnp.float32)
     h = jnp.maximum(h + b1_ref[:], 0.0)
     s = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     s = jax.nn.sigmoid(s + b2_ref[:])
-    out_ref[:] = x * s.astype(x.dtype)
+    out_ref[0] = x * s.astype(x.dtype)
 
 
 def fused_se(x, w1, b1, w2, b2, interpret: bool = False):
-    """Single-pass SE over a (HW, C) feature map (relu activation).
-
-    Batched input (B, HW, C) is handled via vmap (Pallas lifts the batch dim
-    into the grid)."""
-    if x.ndim == 3:
-        return jax.vmap(lambda xi: fused_se(xi, w1, b1, w2, b2, interpret))(x)
-    assert x.ndim == 2, x.shape
+    """Single-pass SE over (HW, C) or batched (B, HW, C) feature maps (relu
+    activation). Batches stream through a grid — one sample's map in VMEM at
+    a time."""
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    n, hw, c = x.shape
     b1 = b1.reshape(1, -1)
     b2 = b2.reshape(1, -1)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _se_kernel,
+        grid=(n,),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
         interpret=interpret,
     )(x, w1, b1, w2, b2)
+    return out[0] if squeeze else out

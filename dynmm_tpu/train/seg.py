@@ -382,57 +382,75 @@ class SegTrainer:
         rng = np.random.default_rng(run_seed)
 
         t_val0 = time.time()
-        forward_time = post_time = cm_time = 0.0
+        self._phase_forward = self._phase_post = self._phase_cm = 0.0
         miou = {}
         if valid_loss is not None:
             valid_loss.reset()
+        import contextlib
+
         for camera in cameras:
             cm = ConfusionMatrix(n_classes)
-            for batch in loader:
-                image = batch["image"]
-                depth = batch["depth"]
-                if noise_mode >= 0:
-                    from dynmm_tpu.data.seg_preprocessing import inject_eval_noise
-
-                    image, depth = inject_eval_noise(
-                        image, depth, noise_mode, noise, rng
-                    )
-                label_orig = batch.get("label_orig", batch.get("label"))
-                out_h, out_w = label_orig.shape[1], label_orig.shape[2]
-                step = self._get_eval_step((hard, bool(cfg.baseline), out_h, out_w))
-
-                t0 = time.time()
-                pred_logits, pred_full, weight = step(
-                    state, jnp.asarray(image), jnp.asarray(depth)
+            camera_ctx = (
+                loader.dataset.filter_camera(camera)
+                if hasattr(loader.dataset, "filter_camera")
+                else contextlib.nullcontext()
+            )
+            with camera_ctx:
+                self._validate_camera(
+                    state, loader, cm, noise_mode, noise, rng, valid_loss,
+                    collect_weights, hard,
                 )
-                pred_full = np.asarray(pred_full)
-                forward_time += time.time() - t0
-
-                t0 = time.time()
-                if valid_loss is not None and "label" in batch:
-                    valid_loss.add_batch(pred_logits, jnp.asarray(batch["label"]))
-                if collect_weights is not None:
-                    collect_weights.append(weight)
-                mask = label_orig > 0
-                lab = label_orig[mask] - 1
-                pred_m = pred_full[mask]
-                post_time += time.time() - t0
-
-                t0 = time.time()
-                cm.update(lab, pred_m)
-                cm_time += time.time() - t0
-                if cfg.debug:
-                    break
             miou[camera] = cm.miou()
             logs[f"mIoU_{split}_{camera}"] = miou[camera]
 
         logs["time_validation"] = time.time() - t_val0
-        logs["time_forward"] = forward_time
-        logs["time_post_processing"] = post_time
-        logs["time_confusion_matrix"] = cm_time
+        logs["time_forward"] = self._phase_forward
+        logs["time_post_processing"] = self._phase_post
+        logs["time_confusion_matrix"] = self._phase_cm
         if valid_loss is not None:
             logs[f"loss_{split}"] = valid_loss.compute()
         return miou, logs
+
+    def _validate_camera(
+        self, state, loader, cm, noise_mode, noise, rng, valid_loss,
+        collect_weights, hard,
+    ):
+        cfg = self.cfg
+        for batch in loader:
+            image = batch["image"]
+            depth = batch["depth"]
+            if noise_mode >= 0:
+                from dynmm_tpu.data.seg_preprocessing import inject_eval_noise
+
+                image, depth = inject_eval_noise(
+                    image, depth, noise_mode, noise, rng
+                )
+            label_orig = batch.get("label_orig", batch.get("label"))
+            out_h, out_w = label_orig.shape[1], label_orig.shape[2]
+            step = self._get_eval_step((hard, bool(cfg.baseline), out_h, out_w))
+
+            t0 = time.time()
+            pred_logits, pred_full, weight = step(
+                state, jnp.asarray(image), jnp.asarray(depth)
+            )
+            pred_full = np.asarray(pred_full)
+            self._phase_forward += time.time() - t0
+
+            t0 = time.time()
+            if valid_loss is not None and "label" in batch:
+                valid_loss.add_batch(pred_logits, jnp.asarray(batch["label"]))
+            if collect_weights is not None:
+                collect_weights.append(weight)
+            mask = label_orig > 0
+            lab = label_orig[mask] - 1
+            pred_m = pred_full[mask]
+            self._phase_post += time.time() - t0
+
+            t0 = time.time()
+            cm.update(lab, pred_m)
+            self._phase_cm += time.time() - t0
+            if cfg.debug:
+                break
 
     # ------------------------------------------------------------------- fit
     def fit(

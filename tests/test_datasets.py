@@ -128,3 +128,38 @@ class TestSecondaryDatasets:
         batch = next(iter(loader))
         assert batch["image"].shape == (2, 16, 16, 3)
         assert batch["label_orig"].shape == (2, 16, 20)
+
+
+class TestCameraFiltering:
+    def test_filter_camera_narrows_and_restores(self, tmp_path):
+        from dynmm_tpu.data.other_datasets import SUNRGBDDataset
+
+        rng = np.random.default_rng(2)
+        root = str(tmp_path)
+        for sub in ("rgb", "depth", "labels_37"):
+            os.makedirs(os.path.join(root, "test", sub), exist_ok=True)
+        names, cams = [], []
+        for i in range(4):
+            name = f"{i:04d}"
+            names.append(name)
+            cams.append("kv1" if i % 2 == 0 else "xtion")
+            cv2.imwrite(os.path.join(root, "test", "rgb", f"{name}.png"),
+                        rng.integers(0, 255, (8, 8, 3), dtype=np.uint8))
+            cv2.imwrite(os.path.join(root, "test", "depth", f"{name}.png"),
+                        rng.integers(0, 5000, (8, 8), dtype=np.uint16))
+            cv2.imwrite(os.path.join(root, "test", "labels_37", f"{name}.png"),
+                        rng.integers(0, 38, (8, 8), dtype=np.uint8))
+        with open(os.path.join(root, "test.txt"), "w") as f:
+            f.write("\n".join(names) + "\n")
+        with open(os.path.join(root, "test_cameras.txt"), "w") as f:
+            f.write("\n".join(cams) + "\n")
+
+        ds = SUNRGBDDataset(root, split="test")
+        assert len(ds) == 4
+        with ds.filter_camera("kv1"):
+            assert len(ds) == 2
+        with ds.filter_camera("xtion"):
+            assert len(ds) == 2
+        with ds.filter_camera("realsense"):
+            assert len(ds) == 0
+        assert len(ds) == 4  # restored
