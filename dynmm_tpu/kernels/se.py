@@ -20,8 +20,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget: input + output + slack must fit in ~16 MB/core.
-VMEM_LIMIT_BYTES = 12 * 1024 * 1024
+# VMEM budget: Mosaic double-buffers grid blocks, so one sample's map costs
+# 2×(in + out) = 4× its size; all of it must fit in the 16 MB scoped VMEM.
+VMEM_LIMIT_BYTES = 15 * 1024 * 1024
 
 
 def fits_vmem(shape, dtype=jnp.float32) -> bool:
@@ -29,7 +30,7 @@ def fits_vmem(shape, dtype=jnp.float32) -> bool:
     for s in shape:
         n *= s
     itemsize = jnp.dtype(dtype).itemsize
-    return 2 * n * itemsize < VMEM_LIMIT_BYTES
+    return 4 * n * itemsize < VMEM_LIMIT_BYTES
 
 
 def se_reference(x, w1, b1, w2, b2, activation=jax.nn.relu):

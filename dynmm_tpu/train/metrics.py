@@ -65,6 +65,23 @@ def posneg_accuracy_corr(true_values: np.ndarray, pred_values: np.ndarray):
     return accuracy(true_bin, pred_bin), pearson_corr(true_bin, pred_bin)
 
 
+def auprc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Area under the precision-recall curve for binary labels
+    (average-precision formulation — the reference's MultiBench ``AUPRC``
+    over (positive-class score, label) pairs)."""
+    scores = np.asarray(scores, dtype=np.float64).reshape(-1)
+    labels = np.asarray(labels).reshape(-1).astype(np.int64)
+    order = np.argsort(-scores, kind="stable")
+    labels = labels[order]
+    tp = np.cumsum(labels)
+    n_pos = labels.sum()
+    if n_pos == 0:
+        return 0.0
+    precision = tp / np.arange(1, len(labels) + 1)
+    # average precision: mean of precision at each positive hit
+    return float((precision * labels).sum() / n_pos)
+
+
 # ----------------------------------------------------------- confusion matrix
 class ConfusionMatrix:
     """Streaming confusion matrix over integer labels in [0, n_classes).

@@ -45,6 +45,7 @@ class SupervisedConfig:
     patience: int = 7
     lossw: float = 0.0          # λ on the resource loss
     additional_loss: bool = False  # model returns (out, loss2, weight)
+    auprc: bool = False         # report AUPRC for binary classification
     batch_dropout_rng: bool = True
 
 
@@ -214,6 +215,10 @@ class SupervisedTrainer:
         out = {"loss": losses / max(totals, 1)}
         if cfg.task == "classification":
             out["accuracy"] = M.accuracy(trues, preds.argmax(-1))
+            if cfg.auprc and preds.shape[-1] == 2:
+                exp = np.exp(preds - preds.max(-1, keepdims=True))
+                scores = (exp / exp.sum(-1, keepdims=True))[:, 1]
+                out["auprc"] = M.auprc(scores, trues)
         elif cfg.task == "multilabel":
             hard = (1 / (1 + np.exp(-preds)) >= 0.5).astype(np.int64)
             out["f1_micro"] = M.f1_score(trues, hard, "micro")

@@ -135,3 +135,22 @@ class TestClassWeighting:
         assert w_lin[0] > w_lin[1]  # linear = raw pixel counts
         w_none = compute_class_weights(DS(), 2, "None")
         np.testing.assert_array_equal(w_none, 1)
+
+
+class TestAUPRC:
+    def test_matches_sklearn_average_precision(self):
+        from sklearn.metrics import average_precision_score
+
+        from dynmm_tpu.train.metrics import auprc
+
+        rng = np.random.default_rng(0)
+        labels = rng.integers(0, 2, 200)
+        scores = rng.random(200) * 0.5 + labels * rng.random(200) * 0.5
+        ours = auprc(scores, labels)
+        ref = average_precision_score(labels, scores)
+        np.testing.assert_allclose(ours, ref, rtol=1e-9)
+
+    def test_degenerate_no_positives(self):
+        from dynmm_tpu.train.metrics import auprc
+
+        assert auprc(np.array([0.3, 0.7]), np.array([0, 0])) == 0.0

@@ -33,8 +33,10 @@ class TestFusedSE:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
     def test_fits_vmem_gate(self):
-        assert fits_vmem((120 * 160, 64))       # stage-1 SE input
-        assert not fits_vmem((240 * 320, 64))   # stem-resolution map: too big
+        assert fits_vmem((60 * 80, 128))        # stage-2 SE input
+        # stage-1 and stem maps exceed the double-buffered VMEM budget
+        assert not fits_vmem((120 * 160, 64))
+        assert not fits_vmem((240 * 320, 64))
 
     def test_module_math_path_equals_conv_formulation(self, rng):
         """The SE module's matmul formulation must equal the literal 1×1-conv
