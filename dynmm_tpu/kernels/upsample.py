@@ -13,11 +13,11 @@ Zero-padding semantics ('learned-3x3-zeropad'): the *upsampled* map is
 zero-padded by 1, which maps to zero-padding the source by 1 — done by the
 wrapper with a cheap XLA pad.
 
-STATUS: numerically exact in interpret mode (tests); the current Mosaic
-compiler in this deployment rejects the sublane interleave reshape the output
-assembly needs, so the module-level ``use_pallas`` flag keeps the XLA path as
-default and this kernel is staged for a Mosaic-friendly output layout
-(parity-planar output + fused consumer) in a later round.
+STATUS: numerically exact in interpret mode (tests) and compiles+runs on TPU
+for lane-aligned channel counts (C % 128 == 0 — the three decoder-module
+upsamples at 512/256/128 channels); the 40-channel logits upsamples still hit
+Mosaic lane-padding limits and fall back to XLA. Callers gate via the
+``use_pallas`` module flag.
 """
 
 from __future__ import annotations
@@ -44,7 +44,7 @@ def _interleave(a, b, axis: int):
 
 
 def _kernel(x_hbm, k_ref, b_ref, out_ref, scratch, sem, *, tile_rows: int,
-            src_w: int, channels: int):
+            src_w: int, src_wp: int, channels: int):
     """Grid over output row tiles. x_hbm: padded source (H+2, W+2, C) in ANY;
     out block (T, 2W, C); scratch (T//2+2, W+2, C).
 
@@ -105,12 +105,14 @@ def fused_learned_upsample(x, kernel, bias, interpret: bool = False):
         return jax.vmap(lambda xi: fused_learned_upsample(xi, kernel, bias,
                                                           interpret))(x)
     h, w, c = x.shape
-    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
+    # pad width so the (rows, W+2+pad, C) DMA slices stay sublane-aligned (8)
+    wp = -(-(w + 2) // 8) * 8
+    xp = jnp.pad(x, ((1, 1), (1, wp - w - 1), (0, 0)))
     tile = _pick_tile(2 * h)
     n_tiles = (2 * h) // tile
 
     kern = functools.partial(
-        _kernel, tile_rows=tile, src_w=w, channels=c
+        _kernel, tile_rows=tile, src_w=w, src_wp=wp, channels=c
     )
     return pl.pallas_call(
         kern,
@@ -125,7 +127,7 @@ def fused_learned_upsample(x, kernel, bias, interpret: bool = False):
         ),
         out_shape=jax.ShapeDtypeStruct((2 * h, 2 * w, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile // 2 + 2, w + 2, c), x.dtype),
+            pltpu.VMEM((tile // 2 + 2, wp, c), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

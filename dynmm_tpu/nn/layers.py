@@ -430,6 +430,7 @@ class Upsample(nn.Module):
                 and self.use_pallas
                 and jax.default_backend() == "tpu"
                 and x.shape[1] % 2 == 0
+                and c % 128 == 0  # Mosaic needs lane-aligned channels
             ):
                 from dynmm_tpu.kernels.upsample import fused_learned_upsample
 
