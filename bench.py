@@ -50,6 +50,10 @@ def setup_compilation_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+class _SkipDiagnostics(Exception):
+    pass
+
+
 def log(msg: str):
     print(msg, file=sys.stderr, flush=True)
 
@@ -122,12 +126,6 @@ def main():
     td = measure(fd, nop, variables, rgb8, depth8)
     log(f"bs={bs} routed hard: {td*1e3:.2f} ms/batch ({bs/td:.1f} fps)")
 
-    fdd = make_scan_bench(
-        lambda v, r, d: model.apply(v, r, d, train=False, hard=True)
-    )
-    tdd = measure(fdd, nop, variables, rgb8, depth8, reps=1)
-    log(f"bs={bs} dense hard: {tdd*1e3:.2f} ms/batch ({bs/tdd:.1f} fps)")
-
     # Baseline: static ESANet compute (always-fuse) at the same batch.
     fb = make_scan_bench(
         lambda v, r, d: model.apply(v, r, d, train=False, baseline=True)
@@ -136,7 +134,15 @@ def main():
     log(f"bs={bs} dense baseline: {tb*1e3:.2f} ms/batch ({bs/tb:.1f} fps)")
 
     # Diagnostics: bs=1 latency-mode switch routing + per-path latency.
+    # Each adds a multi-minute compile on a cold cache; opt in via BENCH_FULL=1.
     try:
+        if os.environ.get("BENCH_FULL", "0") in ("", "0", "false"):
+            raise _SkipDiagnostics
+        fdd = make_scan_bench(
+            lambda v, r, d: model.apply(v, r, d, train=False, hard=True)
+        )
+        tdd = measure(fdd, nop, variables, rgb8, depth8, reps=1)
+        log(f"bs={bs} dense hard: {tdd*1e3:.2f} ms/batch ({bs/tdd:.1f} fps)")
         t_dyn = measure(
             make_scan_bench(
                 lambda v, r, d: model.apply(v, r, d, method=model.forward_switch)
@@ -171,6 +177,8 @@ def main():
         )
         tbf = measure(fbf, nop, variables, rgb8, depth8, reps=1)
         log(f"bs={bs} dense hard bf16: {tbf*1e3:.2f} ms/batch ({bs/tbf:.1f} fps)")
+    except _SkipDiagnostics:
+        log("diagnostics skipped (set BENCH_FULL=1 to enable)")
     except Exception as e:  # diagnostics must never kill the bench
         log(f"diagnostics failed: {e}")
 

@@ -52,11 +52,12 @@ def _kernel(x_hbm, k_ref, b_ref, out_ref, scratch, sem, *, tile_rows: int,
     with tap weights pre-combined from the 3×3 kernel — 16 source-resolution
     MACs instead of 36 upsampled-resolution ones, and no input interleave.
     """
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     t_half = tile_rows // 2
     s0 = i * t_half
 
-    dma = pltpu.make_async_copy(x_hbm.at[pl.ds(s0, t_half + 2)], scratch, sem)
+    dma = pltpu.make_async_copy(x_hbm.at[b, pl.ds(s0, t_half + 2)], scratch, sem)
     dma.start()
     dma.wait()
 
@@ -86,52 +87,63 @@ def _kernel(x_hbm, k_ref, b_ref, out_ref, scratch, sem, *, tile_rows: int,
     row0 = _interleave(parts[(0, 0)], parts[(0, 1)], axis=1)  # (T/2, 2W, C)
     row1 = _interleave(parts[(1, 0)], parts[(1, 1)], axis=1)
     out = _interleave(row0, row1, axis=0)                     # (T, 2W, C)
-    out_ref[:] = out + b_ref[:][None, None, :]
+    out_ref[0] = out + b_ref[:][None, None, :]
 
 
-def _pick_tile(out_h: int, max_tile: int = 32) -> int:
-    """Largest even divisor of out_h that is ≤ max_tile."""
+def _pick_tile(out_h: int, out_w: int = 0, channels: int = 0,
+               max_tile: int = 32, budget_bytes: int = 1_500_000) -> int:
+    """Largest even divisor of out_h that is ≤ max_tile AND whose output
+    block (tile × out_w × C fp32) stays under ``budget_bytes`` — the VPU
+    temporaries and double buffering multiply the block several times inside
+    the 16 MB scoped VMEM."""
     best = 2
     for t in range(2, min(out_h, max_tile) + 1, 2):
-        if out_h % t == 0:
-            best = t
+        if out_h % t != 0:
+            continue
+        if out_w and channels and t * out_w * channels * 4 > budget_bytes:
+            continue
+        best = t
     return best
 
 
 def fused_learned_upsample(x, kernel, bias, interpret: bool = False):
     """x (H, W, C) or (N, H, W, C); kernel (3, 3, C) depthwise; bias (C,).
-    Returns the learned-3x3-zeropad ×2 upsample (2H, 2W, C)."""
-    if x.ndim == 4:
-        return jax.vmap(lambda xi: fused_learned_upsample(xi, kernel, bias,
-                                                          interpret))(x)
-    h, w, c = x.shape
+    Returns the learned-3x3-zeropad ×2 upsample (..., 2H, 2W, C). Batches are
+    a native leading grid dimension (HBM refs forbid vmap-style blocking)."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
     # pad width so the (rows, W+2+pad, C) DMA slices stay sublane-aligned (8)
     wp = -(-(w + 2) // 8) * 8
-    xp = jnp.pad(x, ((1, 1), (1, wp - w - 1), (0, 0)))
-    tile = _pick_tile(2 * h)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    tile = _pick_tile(2 * h, 2 * w, c)
     n_tiles = (2 * h) // tile
 
     kern = functools.partial(
         _kernel, tile_rows=tile, src_w=w, src_wp=wp, channels=c
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
-        grid=(n_tiles,),
+        grid=(n, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((3, 3, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c), lambda b, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda b, i: (0,), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (tile, 2 * w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, tile, 2 * w, c), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((2 * h, 2 * w, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * w, c), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((tile // 2 + 2, wp, c), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(xp, kernel, bias)
+    return out[0] if squeeze else out
 
 
 def reference_learned_upsample(x, kernel, bias):
