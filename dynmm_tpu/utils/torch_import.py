@@ -259,6 +259,12 @@ def import_scenenet_pretrain(
 
 def load_any_checkpoint(path: str, model, params: dict, model_state: dict):
     """Dispatch native msgpack vs torch checkpoints (used by the CLIs)."""
+    import os
+    import sys
+
+    if not os.path.isfile(path):
+        print(f"=> no checkpoint found at '{path}'")
+        sys.exit(1)
     if path.endswith((".pth", ".pt")):
         return import_torch_checkpoint(path, params, model_state)
     from dynmm_tpu.utils.checkpoint import load_checkpoint

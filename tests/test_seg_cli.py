@@ -80,3 +80,46 @@ def test_train_then_eval_roundtrip(tmp_path):
     )
     assert result.returncode == 0, result.stderr[-4000:]
     assert "Run 1" in result.stdout
+
+
+def test_eval_with_torch_checkpoint(tmp_path):
+    """eval.py must load a reference-format .pth checkpoint (torch importer
+    path): export a tiny model to torch format, then evaluate from it."""
+    import subprocess
+
+    script = f"""
+import os
+os.environ['DYNMM_FORCE_CPU'] = '1'
+from dynmm_tpu.utils.platform import maybe_force_cpu
+maybe_force_cpu()
+import jax, jax.numpy as jnp
+from dynmm_tpu.models.esanet import ESANetConfig
+from dynmm_tpu.models.skip_gate import SkipGateESANet
+from dynmm_tpu.utils.torch_export import save_torch_checkpoint
+
+cfg = ESANetConfig(height=64, width=64, num_classes=40,
+                   encoder_rgb='resnet18', encoder_depth='resnet18',
+                   encoder_block='BasicBlock', channels_decoder=(32, 32, 32),
+                   nr_decoder_blocks=(1, 1, 1), context_module='None',
+                   upsampling='bilinear')
+m = SkipGateESANet(cfg)
+v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+           jnp.zeros((1, 64, 64, 1)), train=False)
+save_torch_checkpoint(r'{tmp_path}/ref.pth', v['params'], v['batch_stats'])
+print('saved')
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["DYNMM_FORCE_CPU"] = "1"
+    r = subprocess.run([sys.executable, "-c", script], env=env, cwd=tmp_path,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    result = run_cli(
+        "eval.py",
+        TINY_FLAGS + ["--dynamic", "--global-gate", "--hard",
+                      "--ckpt_path", str(tmp_path / "ref.pth")],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert "Loaded checkpoint" in result.stdout and "Mean" in result.stdout
