@@ -81,6 +81,31 @@ def load_ckpt(path: str, target: Optional[dict] = None):
     )
 
 
+def save_orbax(path: str, state: dict, epoch: int = 0) -> str:
+    """Orbax checkpointing (async-capable, shards multi-device arrays) — the
+    scale-out alternative to the msgpack format for mesh-sharded training
+    states."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {"epoch": epoch, "state": _to_host(state)}, force=True)
+    return path
+
+
+def load_orbax(path: str, target: Optional[dict] = None) -> dict:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = ckptr.restore(path)
+    if target is not None:
+        payload["state"] = flax.serialization.from_state_dict(
+            target, payload["state"]
+        )
+    return payload
+
+
 def get_best_checkpoint(ckpt_dir: str, key: str = "mIoU_test") -> str:
     """Pick the epoch checkpoint with the best CSV-logged metric."""
     import pandas as pd

@@ -154,3 +154,19 @@ class TestAUPRC:
         from dynmm_tpu.train.metrics import auprc
 
         assert auprc(np.array([0.3, 0.7]), np.array([0, 0])) == 0.0
+
+
+class TestOrbaxCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+
+        from dynmm_tpu.utils.checkpoint import load_orbax, save_orbax
+
+        state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)}}
+        p = save_orbax(str(tmp_path / "ck"), state, epoch=7)
+        out = load_orbax(p)
+        assert out["epoch"] == 7
+        np.testing.assert_array_equal(
+            np.asarray(out["state"]["params"]["w"]),
+            np.arange(6.0).reshape(2, 3),
+        )
