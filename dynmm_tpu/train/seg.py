@@ -277,18 +277,22 @@ class SegTrainer:
         return jitted
 
     def _get_eval_step(self, key):
-        """key = (hard, baseline, out_h, out_w)."""
+        """key = (hard, baseline, ini, out_h, out_w)."""
         if key in self._eval_steps:
             return self._eval_steps[key]
-        hard, baseline, out_h, out_w = key
+        hard, baseline, ini, out_h, out_w = key
 
         def step(state, image, depth):
             variables = {"params": state["params"], **state["model_state"]}
             inputs = self._inputs(image, depth)
             if self.cfg.dynamic and self.cfg.global_gate:
+                # the reference's ini_stage flag persists into validation
+                # (train.py:195 is not reset before validate)
+                kwargs = dict(hard=hard, baseline=baseline, return_weight=True)
+                if ini:
+                    kwargs.update(ini_stage=True, rng=jax.random.PRNGKey(0))
                 pred, weight = self.model.apply(
-                    variables, *inputs, train=False,
-                    hard=hard, baseline=baseline, return_weight=True,
+                    variables, *inputs, train=False, **kwargs
                 )
             elif self.cfg.dynamic:
                 pred, weights = self.model.apply(
@@ -370,6 +374,7 @@ class SegTrainer:
         run_seed: int = 0,
         valid_loss: Optional[StreamingValidLoss] = None,
         collect_weights: Optional[GateStats] = None,
+        ini_stage: bool = False,
     ):
         """Per-camera eval: returns ({camera: miou}, logs). Matches the
         reference post-processing chain exactly (resize→argmax→mask→−1)."""
@@ -398,7 +403,7 @@ class SegTrainer:
             with camera_ctx:
                 self._validate_camera(
                     state, loader, cm, noise_mode, noise, rng, valid_loss,
-                    collect_weights, hard,
+                    collect_weights, hard, ini_stage,
                 )
             miou[camera] = cm.miou()
             logs[f"mIoU_{split}_{camera}"] = miou[camera]
@@ -413,7 +418,7 @@ class SegTrainer:
 
     def _validate_camera(
         self, state, loader, cm, noise_mode, noise, rng, valid_loss,
-        collect_weights, hard,
+        collect_weights, hard, ini_stage=False,
     ):
         cfg = self.cfg
         for batch in loader:
@@ -427,7 +432,9 @@ class SegTrainer:
                 )
             label_orig = batch.get("label_orig", batch.get("label"))
             out_h, out_w = label_orig.shape[1], label_orig.shape[2]
-            step = self._get_eval_step((hard, bool(cfg.baseline), out_h, out_w))
+            step = self._get_eval_step(
+                (hard, bool(cfg.baseline), bool(ini_stage), out_h, out_w)
+            )
 
             t0 = time.time()
             pred_logits, pred_full, weight = step(
@@ -496,6 +503,7 @@ class SegTrainer:
                 miou, logs = self.validate(
                     state, valid_loader, logs,
                     valid_loss=StreamingValidLoss(self.class_weights),
+                    ini_stage=epoch < cfg.epoch_ini,
                 )
                 cam0 = cameras[0]
                 if miou[cam0] > best_miou:
