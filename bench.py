@@ -4,15 +4,17 @@ inference throughput on one TPU chip.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
 
-value        = hard-gate routed inference throughput, batch=1 (the reference's
-               eval regime), lax.switch execution so skipped depth stages are
-               really skipped. Gate decisions come from the live gate on the
-               benchmark input.
+value        = batched (bs=8, the reference's eval batch) hard-gate eval
+               throughput via batch-adaptive routing (bit-equal to dense
+               hard-gate eval; depth stages beyond the batch's max selected
+               path are skipped). Gate decisions come from the live gate.
 vs_baseline  = value / static-baseline throughput measured identically on the
                same chip (baseline = always-fuse path 4 = static ESANet
-               compute). The reference repo publishes no throughput numbers
-               (SURVEY §6), so the static model on identical hardware is the
-               baseline; >1.0 is the speedup dynamism buys.
+               compute, no gate). The reference repo publishes no throughput
+               numbers (SURVEY §6), so the static model on identical hardware
+               is the baseline; with an untrained gate this hovers near 1.0
+               (gate cost ≈ skipped work) — it becomes meaningful with
+               trained gates that pick cheap paths.
 
 Timing methodology: this environment reaches the TPU through a high-latency
 tunnel where per-call host timing is meaningless, so each measurement runs
