@@ -80,6 +80,7 @@ def main():
             noise=args.noise,
             run_seed=r,
             collect_weights=stats,
+            ini_stage=args.ini,
         )
         camera = list(miou)[0]
         result[r] = miou[camera] * 100
