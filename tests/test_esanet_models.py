@@ -216,3 +216,23 @@ class TestCumulativeWeightSemantics:
         grads = jax.grad(loss_fn)(v["params"])
         gate_grads = jax.tree_util.tree_leaves(grads["gate_layer"])
         assert any(np.abs(np.asarray(g)).sum() > 0 for g in gate_grads)
+
+
+class TestResNet50Fusion:
+    def test_skipgate_bottleneck_path(self):
+        """ResNet50 (Bottleneck, expansion 4) through the full gated model:
+        channel bookkeeping, skip projections and the R50 flop table."""
+        cfg = ESANetConfig(
+            height=64, width=64, num_classes=5,
+            encoder_rgb="resnet50", encoder_depth="resnet50",
+            channels_decoder=(64, 32, 16), nr_decoder_blocks=(1, 1, 1),
+        )
+        m = SkipGateESANet(cfg)
+        rgb = jnp.ones((1, 64, 64, 3))
+        depth = jnp.ones((1, 64, 64, 1))
+        v = m.init(jax.random.PRNGKey(0), rgb, depth, train=False)
+        out = m.apply(v, rgb, depth, train=False, hard=True)
+        assert out.shape == (1, 64, 64, 5)
+        (outs, loss), _ = m.apply(v, rgb, depth, train=True, mutable=["batch_stats"])
+        table = flop_table("resnet50")
+        assert 0.0 <= float(loss) <= table.max()
