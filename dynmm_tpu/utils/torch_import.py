@@ -126,6 +126,23 @@ def translate_seg_key(tkey: str) -> str:
     return tkey
 
 
+# Modality-level (MultiBench-structured) checkpoints: the branch modules are
+# MultiBench classes whose torch attribute names differ from ours. Known
+# mappings (MultiBench MLP uses attributes ``fc``/``fc2``; our MLP uses
+# ``fc1``/``fc2``). Transformer/MaxOut internals differ structurally and are
+# reported as unconsumed — load what maps, warn about the rest.
+_MODALITY_RULES = [
+    (re.compile(r"(^|\.)fc\.(weight|bias)$"), r"\1fc1.\2"),
+    (re.compile(r"\.encoders\.(\d+)\."), r".encoders_\1."),
+]
+
+
+def translate_modality_key(tkey: str) -> str:
+    for pat, rep in _MODALITY_RULES:
+        tkey = pat.sub(rep, tkey)
+    return tkey
+
+
 def _tensor_to_flax(parts: list[str], value: np.ndarray):
     """→ (collection, path, array) or None to drop."""
     leaf = parts[-1]

@@ -169,3 +169,48 @@ class TestModulePickle:
         state = load_torch_module_pickle(str(path))
         assert "fc.weight" in state and state["fc.weight"].shape == (2, 4)
         assert "bn.running_mean" in state
+
+
+class TestModalityKeyTranslation:
+    def test_gate_and_mlp_branches_import(self, tmp_path):
+        """MultiBench-structured modality checkpoints (MLP attrs fc/fc2) load
+        into the IMDB router's gate and MLP branches; structurally-different
+        modules (MaxOut internals) are reported, not silently dropped."""
+        import jax
+        import jax.numpy as jnp
+
+        from dynmm_tpu.models.modality import IMDBDynMMNet
+        from dynmm_tpu.utils.torch_import import translate_modality_key
+
+        assert translate_modality_key("gate.fc.weight") == "gate.fc1.weight"
+        assert translate_modality_key("gate.fc2.bias") == "gate.fc2.bias"
+        assert (
+            translate_modality_key("branch3.encoders.0.lin.weight")
+            == "branch3.encoders_0.lin.weight"
+        )
+
+        model = IMDBDynMMNet()
+        text, image = jnp.zeros((1, 300)), jnp.zeros((1, 4096))
+        variables = model.init(
+            jax.random.PRNGKey(0), [text, image], method=model.init_all
+        )
+        rng_np = np.random.default_rng(0)
+        gw = rng_np.standard_normal((2, 128)).astype(np.float32)
+        tw = rng_np.standard_normal((512, 300)).astype(np.float32)
+        sd = {
+            "gate.fc2.weight": torch.tensor(gw),
+            "text_encoder.fc.weight": torch.tensor(tw),
+        }
+        path = tmp_path / "modality.pth"
+        torch.save({"state_dict": sd}, path)
+        new_params, _ = import_torch_checkpoint(
+            str(path), variables["params"],
+            {"batch_stats": variables["batch_stats"]},
+            translate=translate_modality_key,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_params["gate"]["fc2"]["kernel"]), gw.T
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_params["text_encoder"]["fc1"]["kernel"]), tw.T
+        )
