@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Batch inference CLI: run a trained fusion-level DynMM over a directory of
+RGB-D samples (prepared-dataset layout) and write colored segmentation maps
+plus a routing/throughput report.
+
+The serving-side complement to train.py/eval.py (the reference has no serving
+entry point; its closest analogue is the samples loop in eval.py):
+
+    python predict.py --ckpt_path ckpt.msgpack --dataset_dir datasets/nyuv2 \
+        --split test --out_dir preds/ [--num 16] [--use-pallas] [--dtype bfloat16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    from dynmm_tpu.utils.platform import maybe_force_cpu
+
+    maybe_force_cpu()
+    import jax
+    import jax.numpy as jnp
+
+    from dynmm_tpu.cli.seg_args import ArgumentParserRGBDSegmentation
+    from dynmm_tpu.cli.seg_build import build_model, make_dataset
+    from dynmm_tpu.core.resource import GateStats
+    from dynmm_tpu.data.nyuv2 import class_colors
+    from dynmm_tpu.data.seg_preprocessing import SegLoader, SegPreprocessor
+    from dynmm_tpu.models.skip_gate import flop_table
+    from dynmm_tpu.utils.torch_import import load_any_checkpoint
+
+    parser = ArgumentParserRGBDSegmentation(
+        description="Batch RGB-D segmentation inference (TPU)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.set_common_args()
+    parser.add_argument("--ckpt_path", required=True)
+    parser.add_argument("--split", default="test")
+    parser.add_argument("--out_dir", default="./preds")
+    parser.add_argument("--num", type=int, default=0, help="limit sample count")
+    args = parser.parse_args()
+    args.dynamic = True
+    args.global_gate = True
+
+    ds = make_dataset(args, args.split)
+    n_classes = ds.n_classes_without_void
+    pre = SegPreprocessor(
+        getattr(ds, "depth_mean", 0.0), getattr(ds, "depth_std", 1.0),
+        args.height, args.width, phase="test",
+    )
+    loader = SegLoader(ds, pre, batch_size=args.batch_size)
+    model = build_model(args, n_classes)
+
+    sample = next(iter(loader))
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(sample["image"][:1]),
+        jnp.asarray(sample["depth"][:1]),
+        train=False,
+    )
+    params, model_state = load_any_checkpoint(
+        args.ckpt_path, model, variables["params"],
+        {k: v for k, v in variables.items() if k != "params"},
+    )
+    variables = {"params": params, **model_state}
+    print(f"Loaded checkpoint from {args.ckpt_path}")
+
+    fwd = jax.jit(
+        lambda v, r, d: model.apply(
+            v, r, d, return_weight=True, method=model.forward_switch_batched
+        )
+    )
+
+    colors = class_colors(n_classes + 1)
+    os.makedirs(args.out_dir, exist_ok=True)
+    stats = GateStats()
+    n_done, t_model = 0, 0.0
+    for batch in loader:
+        t0 = time.perf_counter()
+        logits, weight = fwd(
+            variables, jnp.asarray(batch["image"]), jnp.asarray(batch["depth"])
+        )
+        pred = np.asarray(jnp.argmax(logits, axis=-1))
+        t_model += time.perf_counter() - t0
+        stats.append(weight)
+        for img in pred:
+            colored = colors[img + 1]  # prediction class c = label c+1
+            try:
+                import cv2
+
+                cv2.imwrite(
+                    os.path.join(args.out_dir, f"pred_{n_done:05d}.png"),
+                    colored[:, :, ::-1],
+                )
+            except Exception:
+                np.save(os.path.join(args.out_dir, f"pred_{n_done:05d}.npy"), img)
+            n_done += 1
+            if args.num and n_done >= args.num:
+                break
+        if args.num and n_done >= args.num:
+            break
+
+    ratios = stats.branch_ratios()
+    table = flop_table(args.encoder, "total")
+    print(f"wrote {n_done} predictions to {args.out_dir}")
+    print(f"path distribution: {np.round(ratios, 3)}")
+    print(f"expected total GFLOPs/sample: {stats.expected_flops(table):.3f}")
+    print(f"model throughput: {n_done / max(t_model, 1e-9):.2f} frames/sec "
+          "(incl. host sync; see bench.py for on-device numbers)")
+
+
+if __name__ == "__main__":
+    main()

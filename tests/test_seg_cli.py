@@ -123,3 +123,27 @@ print('saved')
     )
     assert result.returncode == 0, result.stderr[-3000:]
     assert "Loaded checkpoint" in result.stdout and "Mean" in result.stdout
+
+
+def test_predict_cli(tmp_path):
+    """predict.py writes colored predictions + routing report from a trained
+    checkpoint."""
+    result = run_cli(
+        "train.py",
+        TINY_FLAGS + ["--dynamic", "--global-gate", "--epochs", "1",
+                      "--eval-every", "1", "--results_dir", str(tmp_path)],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    ckpts = glob.glob(str(tmp_path / "synthetic" / "*" / "ckpt_epoch_*.msgpack"))
+
+    result = run_cli(
+        "predict.py",
+        TINY_FLAGS + ["--ckpt_path", ckpts[0], "--num", "3",
+                      "--out_dir", str(tmp_path / "preds")],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert "path distribution" in result.stdout
+    outs = os.listdir(tmp_path / "preds")
+    assert len(outs) == 3
