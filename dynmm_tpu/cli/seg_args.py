@@ -98,6 +98,8 @@ class ArgumentParserRGBDSegmentation(argparse.ArgumentParser):
                           help="compute dtype (params stay float32)")
         self.add_argument("--use-pallas", action="store_true",
                           help="enable fused Pallas kernels on the TPU path")
+        self.add_argument("--grad-accum", type=int, default=1,
+                          help="accumulate gradients over N batches per step")
         # others
         self.add_argument("-j", "--workers", default=8, type=int, metavar="N")
         self.add_argument("--debug", default=False, action="store_true",

@@ -71,6 +71,7 @@ class SegTrainConfig:
     soft_eval: bool = False
     dynamic: bool = True
     global_gate: bool = True  # SkipGateESANet (global) vs SkipESANet (local)
+    grad_accum: int = 1       # optimizer-step every N batches (optax.MultiSteps)
     modality: str = "rgbd"
     debug: bool = False  # one batch per train/valid pass
 
@@ -115,6 +116,8 @@ def make_seg_optimizer(cfg: SegTrainConfig, params=None):
         raise NotImplementedError(
             f"Currently only SGD and Adam as optimizers are supported. Got {cfg.optimizer}"
         )
+    if cfg.grad_accum > 1:
+        base = optax.MultiSteps(base, every_k_schedule=cfg.grad_accum)
     if cfg.freeze and cfg.dynamic and params is not None:
         labels = jax.tree_util.tree_map_with_path(
             lambda path, _: "train"

@@ -87,6 +87,7 @@ def main():
         soft_eval=args.soft_eval,
         dynamic=args.dynamic,
         global_gate=args.global_gate,
+        grad_accum=args.grad_accum,
         modality=args.modality,
         debug=args.debug,
     )
