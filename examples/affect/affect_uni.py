@@ -48,6 +48,8 @@ def main():
     ap.add_argument("--n-epochs", type=int, default=100)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--data-path", type=str, default="./data/mosei_senti_data.pkl")
+    ap.add_argument("--clf", action="store_true",
+                    help="classification model (CE, 2 classes); else regression")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--eval-only", action="store_true")
     args = ap.parse_args()
@@ -58,6 +60,20 @@ def main():
     else:
         loaders = mosei_loaders(args.data_path, batch_size=32)
     train_loader, valid_loader, test_loader = loaders
+    if args.clf:
+        # binarize the scalar sentiment into posneg classes for CE training
+        from dynmm_tpu.data.loader import ArrayLoader
+
+        def binarize(l, shuffle):
+            return ArrayLoader(
+                l.inputs, (l.label.reshape(-1) >= 0).astype(np.int64),
+                lengths=l.lengths, batch_size=l.batch_size, shuffle=shuffle,
+                drop_last=shuffle, pad_tail=not shuffle,
+            )
+
+        train_loader = binarize(train_loader, True)
+        valid_loader = binarize(valid_loader, False)
+        test_loader = binarize(test_loader, False)
 
     g1, g2, t1, t2 = HIDDEN[args.mod]
     h1 = args.hidden_dim1 or (g1 if args.enc == "gru" else t1)
@@ -70,7 +86,8 @@ def main():
             encoder = GRU(hidden_dim=h1, dropout=True)
         else:
             encoder = Transformer(dim=h1)
-        model = EncoderHead(encoder, MLP(h2, 1), sequence=True)
+        output_dim = 2 if args.clf else 1
+        model = EncoderHead(encoder, MLP(h2, output_dim), sequence=True)
 
         batch = next(iter(train_loader))
         variables = model.init(
@@ -78,10 +95,16 @@ def main():
             jnp.asarray(batch.inputs[args.mod]),
             jnp.asarray(batch.lengths[args.mod]),
         )
-        cfg = SupervisedConfig(
-            task="posneg-classification", objective="l1",
-            epochs=args.n_epochs, lr=args.lr, weight_decay=0.01,
-        )
+        if args.clf:
+            cfg = SupervisedConfig(
+                task="classification", objective="cross_entropy",
+                epochs=args.n_epochs, lr=args.lr, weight_decay=0.01,
+            )
+        else:
+            cfg = SupervisedConfig(
+                task="posneg-classification", objective="l1",
+                epochs=args.n_epochs, lr=args.lr, weight_decay=0.01,
+            )
         trainer = SupervisedTrainer(unimodal_adapter(model, args.mod), cfg)
         state = trainer.init_state(variables)
         if not args.eval_only:
@@ -99,7 +122,7 @@ def main():
             )
         metrics = trainer.evaluate(state, test_loader)
         print(f"run {n}: {metrics}")
-        log[n] = metrics["accuracy"], metrics["loss"], metrics["corr"]
+        log[n] = metrics["accuracy"], metrics["loss"], metrics.get("corr", 0.0)
 
     print(f"Test Accuracy {log[:,0].mean()*100:.2f} ± {log[:,0].std()*100:.2f}")
     print(f"Loss {log[:,1].mean():.4f} ± {log[:,1].std():.2f}")
