@@ -100,6 +100,10 @@ class ArgumentParserRGBDSegmentation(argparse.ArgumentParser):
                           help="enable fused Pallas kernels on the TPU path")
         self.add_argument("--grad-accum", type=int, default=1,
                           help="accumulate gradients over N batches per step")
+        self.add_argument("--mesh-data", type=int, default=0,
+                          help="data-parallel mesh size (0 = all devices)")
+        self.add_argument("--mesh-model", type=int, default=1,
+                          help="model-parallel mesh size")
         # others
         self.add_argument("-j", "--workers", default=8, type=int, metavar="N")
         self.add_argument("--debug", default=False, action="store_true",

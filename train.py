@@ -91,9 +91,15 @@ def main():
         modality=args.modality,
         debug=args.debug,
     )
-    trainer = SegTrainer(model, cfg, class_weights)
-
     import jax
+
+    mesh = None
+    if jax.device_count() > 1 or args.mesh_data > 1 or args.mesh_model > 1:
+        from dynmm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_data or None, args.mesh_model)
+        print(f"Using device mesh {dict(mesh.shape)}")
+    trainer = SegTrainer(model, cfg, class_weights, mesh=mesh)
 
     sample = next(iter(train_loader))
     state = trainer.init_state(jax.random.PRNGKey(0), sample)
