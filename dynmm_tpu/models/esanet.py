@@ -93,7 +93,7 @@ class DecoderModule(nn.Module):
         for i in range(self.nr_blocks):
             out = NonBottleneck1D(
                 self.channels_dec, activation=self.activation, dtype=self.dtype,
-                name=f"decoder_blocks{i}",
+                use_pallas=self.use_pallas, name=f"decoder_blocks{i}",
             )(out, train)
         # Always trace the side conv so its params exist in every mode; when
         # the caller discards out_side (eval) XLA dead-code-eliminates it.
@@ -168,6 +168,7 @@ def build_encoder(cfg: ESANetConfig, which: str, name: str) -> ResNet:
         module_name=name,
         remat=cfg.remat,
         s2d_stem=cfg.s2d_stem,
+        use_pallas=cfg.use_pallas,
     )
 
 

@@ -54,3 +54,60 @@ class TestFusedSE:
         s = 1 / (1 + np.exp(-(np.maximum(pooled @ k1 + bb1, 0) @ k2 + bb2)))
         ref = x * s[:, None, None, :]
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+class TestFusedNBt1D:
+    def _params(self, rng, c):
+        f = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+        return [f(3, c, c), f(c), f(3, c, c), f(c), f(c) + 1.0, f(c),
+                f(3, c, c), f(c), f(3, c, c), f(c), f(c) + 1.0, f(c)]
+
+    @pytest.mark.parametrize("h,w,c", [(12, 10, 8), (30, 40, 16), (8, 6, 4)])
+    def test_matches_reference(self, rng, h, w, c):
+        from dynmm_tpu.kernels.nbt1d import fused_nbt1d, reference_nbt1d
+
+        x = jnp.asarray(rng.standard_normal((2, h, w, c)).astype(np.float32))
+        params = self._params(rng, c)
+        out = fused_nbt1d(x, *params, interpret=True)
+        ref = reference_nbt1d(x, *params)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_reference_matches_flax_module(self, rng):
+        """The kernel's parameterization (folded BN) must equal the actual
+        NonBottleneck1D module in eval mode."""
+        from dynmm_tpu.kernels.nbt1d import fold_bn, reference_nbt1d
+        from dynmm_tpu.models.resnet import NonBottleneck1D
+
+        c = 8
+        x = jnp.asarray(rng.standard_normal((1, 6, 6, c)).astype(np.float32))
+        m = NonBottleneck1D(c)
+        v = m.init(jax.random.PRNGKey(1), x)
+        out_mod = m.apply(v, x)
+
+        p, bs = v["params"], v["batch_stats"]
+        s1, t1 = fold_bn(p["bn1"]["scale"], p["bn1"]["bias"],
+                         bs["bn1"]["mean"], bs["bn1"]["var"])
+        s2, t2 = fold_bn(p["bn2"]["scale"], p["bn2"]["bias"],
+                         bs["bn2"]["mean"], bs["bn2"]["var"])
+        out_ref = reference_nbt1d(
+            x,
+            p["conv3x1_1"]["kernel"][:, 0], p["conv3x1_1"]["bias"],
+            p["conv1x3_1"]["kernel"][0], p["conv1x3_1"]["bias"], s1, t1,
+            p["conv3x1_2"]["kernel"][:, 0], p["conv3x1_2"]["bias"],
+            p["conv1x3_2"]["kernel"][0], p["conv1x3_2"]["bias"], s2, t2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_mod), np.asarray(out_ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_param_tree_identical_across_variants(self):
+        from dynmm_tpu.models.resnet import NonBottleneck1D
+
+        x = jnp.ones((1, 15, 20, 128))
+        v0 = NonBottleneck1D(128).init(jax.random.PRNGKey(0), x)
+        v1 = NonBottleneck1D(128, use_pallas=True).init(jax.random.PRNGKey(0), x)
+        t0 = jax.tree_util.tree_map(lambda a: a.shape, v0)
+        t1 = jax.tree_util.tree_map(lambda a: a.shape, v1)
+        assert t0 == t1
