@@ -101,13 +101,18 @@ def _kernel(x_hbm, w1, b1, w2, b2, s1, t1, w3, b3, w4, b4, s2, t2,
     out_ref[0] = jnp.maximum(h + identity.astype(h.dtype), 0.0)
 
 
-def _pick_tile(h: int, width: int, channels: int,
-               budget_bytes: int = 1_200_000) -> int:
+def _pick_tile(h: int, width: int, channels: int) -> int:
+    """Row-tile size under the 16 MB scoped-VMEM budget: the four (3, C, C)
+    weight mats are resident (12.6 MB at C=512), and the out block is double
+    buffered while scratch + intermediates cost ≈4× more block-sized buffers.
+    """
+    weights = 4 * 3 * channels * channels * 4
+    budget = max(200_000, (13_000_000 - weights) // 6)
     best = 1
     for t in range(1, min(h, 32) + 1):
         if h % t != 0:
             continue
-        if t * width * channels * 4 > budget_bytes:
+        if t * width * channels * 4 > budget:
             continue
         best = t
     return best

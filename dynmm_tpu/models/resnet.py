@@ -82,11 +82,12 @@ class NonBottleneck1D(nn.Module):
     """ERFNet factorized residual block: 3×1 → act → 1×3 → BN → act →
     3×1 → act → 1×3 → BN → +identity → act. BN eps = 1e-3; convs carry bias.
 
-    ``use_pallas``: on the TPU inference path, small lane-aligned maps
-    (H·W ≤ 1200, C % 128 == 0 — e.g. stage-4 / decoder-module-1 blocks at
-    15×20×512, measured 1.7× over XLA) evaluate through the fused Pallas
-    block kernel (``dynmm_tpu.kernels.nbt1d``; one HBM round-trip instead of
-    four). Training and other shapes use the XLA path.
+    ``use_pallas`` (opt-in, default off): small lane-aligned eval maps route
+    through the fused Pallas block kernel (``dynmm_tpu.kernels.nbt1d``; one
+    HBM round-trip instead of four). Status: 1.7× over XLA standalone with
+    whole-map tiles, but inside the full model the resident (3,C,C) weight
+    mats (12.6 MB at C=512) squeeze the row tiles until the win inverts —
+    weight streaming is the planned fix, so the XLA path stays the default.
     """
 
     planes: int
