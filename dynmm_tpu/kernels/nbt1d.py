@@ -33,7 +33,8 @@ def _row_conv(x, w, b, rows_out):
     acc = None
     for d in range(3):
         term = jnp.dot(
-            x[d : d + rows_out], w[d], preferred_element_type=jnp.float32
+            x[d : d + rows_out], w[d], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         acc = term if acc is None else acc + term
     return acc + b
@@ -44,7 +45,8 @@ def _col_conv(x, w, b, cols_out):
     acc = None
     for d in range(3):
         term = jnp.dot(
-            x[:, d : d + cols_out], w[d], preferred_element_type=jnp.float32
+            x[:, d : d + cols_out], w[d], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         acc = term if acc is None else acc + term
     return acc + b
@@ -166,6 +168,116 @@ def fused_nbt1d(x, w1, b1, w2, b2, s1, t1, w3, b3, w4, b4, s2, t2,
         ],
         interpret=interpret,
     )(xp, w1, b1, w2, b2, s1, t1, w3, b3, w4, b4, s2, t2)
+    return out[0] if squeeze else out
+
+
+# --------------------------------------------------------------- two-pass
+def _pair_kernel(x_hbm, wr, br, wc, bc, s, tt, idn_hbm, out_ref, scratch,
+                 idsc, sem, sem2, *, tile_rows: int, width: int,
+                 channels: int, add_identity: bool, final_relu: bool,
+                 relu_after_affine: bool):
+    """One conv pair: 3×1 → relu → (boundary col mask) → 1×3 → BN-affine
+    [→ +identity] [→ relu]. Grid (N, row_tiles); x_hbm zero-padded by 1."""
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    t = tile_rows
+    w = width
+
+    dma = pltpu.make_async_copy(x_hbm.at[n, pl.ds(i * t, t + 2)], scratch, sem)
+    dma.start()
+    if add_identity:
+        dma2 = pltpu.make_async_copy(
+            idn_hbm.at[n, pl.ds(i * t, t)], idsc, sem2
+        )
+        dma2.start()
+        dma2.wait()
+    dma.wait()
+
+    x = scratch[:]  # (T+2, Wp, C); real cols [1, 1+W)
+    h = _row_conv(x, wr[:], br[:], t)          # (T, Wp, C)
+    h = jnp.maximum(h, 0.0)
+    # 1×3 conv zero-pads its input cols: zero everything outside the image
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, w + 2, 1), 1)
+    h = jnp.where((col >= 1) & (col <= w), h[:, 0 : w + 2], 0.0)
+    h = _col_conv(h, wc[:], bc[:], w)          # (T, W, C)
+    h = h * s[:] + tt[:]
+    if relu_after_affine:
+        h = jnp.maximum(h, 0.0)
+    if add_identity:
+        h = h + idsc[:][:, 0:w]
+    if final_relu:
+        h = jnp.maximum(h, 0.0)
+    out_ref[0] = h
+
+
+def _pick_tile_pair(h: int, width: int, channels: int) -> int:
+    weights = 2 * 3 * channels * channels * 4
+    budget = max(200_000, (13_000_000 - weights) // 6)
+    best = 1
+    for t in range(1, min(h, 32) + 1):
+        if h % t == 0 and t * width * channels * 4 <= budget:
+            best = t
+    return best
+
+
+def _run_pair(x, identity, wr, br, wc, bc, s, tt, *, add_identity,
+              final_relu, relu_after_affine, interpret):
+    n, h, w, c = x.shape
+    wp = -(-(w + 2) // 8) * 8
+    wi = -(-w // 8) * 8  # identity DMA needs an 8-aligned width too
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    tile = _pick_tile_pair(h, wp, c)
+    vecs = [v.reshape(1, 1, -1) for v in (br, bc, s, tt)]
+    br, bc, s, tt = vecs
+    if identity is None:
+        identity = jnp.zeros((n, h, wi, c), x.dtype)  # DCE'd (not consumed)
+    elif wi != w:
+        identity = jnp.pad(identity, ((0, 0), (0, 0), (0, wi - w), (0, 0)))
+
+    kern = functools.partial(
+        _pair_kernel, tile_rows=tile, width=w, channels=c,
+        add_identity=add_identity, final_relu=final_relu,
+        relu_after_affine=relu_after_affine,
+    )
+    mat = lambda: pl.BlockSpec((3, c, c), lambda nn, i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    vec = lambda: pl.BlockSpec((1, 1, c), lambda nn, i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(n, h // tile),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  mat(), vec(), mat(), vec(), vec(), vec(),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(
+            (1, tile, w, c), lambda nn, i: (nn, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2, wp, c), x.dtype),
+            pltpu.VMEM((tile, wi, c), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, wr, br, wc, bc, s, tt, identity)
+
+
+def fused_nbt1d_twopass(x, w1, b1, w2, b2, s1, t1, w3, b3, w4, b4, s2, t2,
+                        interpret: bool = False):
+    """NBt1D block as two pair kernels: only 2 of the 4 (3,C,C) weight mats
+    are VMEM-resident per pass, so tiles stay large at C=512. Two HBM
+    round-trips instead of the mono kernel's one (XLA's graph does four)."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    h = _run_pair(x, None, w1, b1, w2, b2, s1, t1, add_identity=False,
+                  final_relu=False, relu_after_affine=True,
+                  interpret=interpret)
+    out = _run_pair(h, x, w3, b3, w4, b4, s2, t2, add_identity=True,
+                    final_relu=True, relu_after_affine=False,
+                    interpret=interpret)
     return out[0] if squeeze else out
 
 

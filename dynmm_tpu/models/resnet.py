@@ -110,7 +110,7 @@ class NonBottleneck1D(nn.Module):
             and d == 1
             and self.activation is jax.nn.relu
             and x.shape[-1] % 128 == 0
-            and x.shape[1] * x.shape[2] <= 1200
+            and x.shape[1] * x.shape[2] <= 4800
             and jax.default_backend() == "tpu"
         ):
             return self._fused_eval(x)
@@ -151,7 +151,7 @@ class NonBottleneck1D(nn.Module):
     def _fused_eval(self, x):
         """Fused-kernel inference path; creates the SAME param/batch_stats
         tree as the XLA path so checkpoints are interchangeable."""
-        from dynmm_tpu.kernels.nbt1d import fold_bn, fused_nbt1d
+        from dynmm_tpu.kernels.nbt1d import fold_bn, fused_nbt1d_twopass
 
         c = self.planes
         lecun = nn.initializers.lecun_normal()
@@ -187,7 +187,7 @@ class NonBottleneck1D(nn.Module):
 
         s1, t1 = fold_bn(bn1.scale, bn1.bias, bn1.mean.value, bn1.var.value)
         s2, t2 = fold_bn(bn2.scale, bn2.bias, bn2.mean.value, bn2.var.value)
-        return fused_nbt1d(
+        return fused_nbt1d_twopass(
             x,
             c1.kernel[:, 0], c1.bias,
             c2.kernel[0], c2.bias, s1, t1,

@@ -111,3 +111,19 @@ class TestFusedNBt1D:
         t0 = jax.tree_util.tree_map(lambda a: a.shape, v0)
         t1 = jax.tree_util.tree_map(lambda a: a.shape, v1)
         assert t0 == t1
+
+
+class TestFusedNBt1DTwoPass:
+    @pytest.mark.parametrize("h,w,c", [(12, 10, 8), (30, 40, 16)])
+    def test_matches_reference(self, rng, h, w, c):
+        from dynmm_tpu.kernels.nbt1d import fused_nbt1d_twopass, reference_nbt1d
+
+        f = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+        params = [f(3, c, c), f(c), f(3, c, c), f(c), f(c) + 1.0, f(c),
+                  f(3, c, c), f(c), f(3, c, c), f(c), f(c) + 1.0, f(c)]
+        x = jnp.asarray(rng.standard_normal((2, h, w, c)).astype(np.float32))
+        out = fused_nbt1d_twopass(x, *params, interpret=True)
+        ref = reference_nbt1d(x, *params)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
