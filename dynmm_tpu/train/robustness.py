@@ -12,7 +12,7 @@ modality's features (MultiBench's feature-noise protocol for IMDB/MOSEI).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

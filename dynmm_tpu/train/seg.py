@@ -25,12 +25,8 @@ annealing never recompiles.
 
 from __future__ import annotations
 
-import copy
 import dataclasses
-import json
 import os
-import pickle
-import sys
 import time
 from typing import Any, Optional
 

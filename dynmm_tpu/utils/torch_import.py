@@ -20,7 +20,6 @@ selections (BASELINE.md).
 
 from __future__ import annotations
 
-import io
 import pickle
 import re
 from typing import Any, Optional

@@ -18,7 +18,6 @@ import sys
 import warnings
 from datetime import datetime
 
-import numpy as np
 
 
 def main():
@@ -28,7 +27,6 @@ def main():
     from dynmm_tpu.cli.seg_build import (
         build_model,
         compute_class_weights,
-        make_dataset,
         prepare_data,
     )
     from dynmm_tpu.train.seg import SegTrainConfig, SegTrainer
