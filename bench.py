@@ -36,7 +36,7 @@ import time
 
 import numpy as np
 
-SCAN_ITERS = 10
+SCAN_ITERS = int(os.environ.get("BENCH_SCAN_ITERS", "10"))
 
 
 def setup_compilation_cache():

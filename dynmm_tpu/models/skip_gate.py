@@ -203,6 +203,7 @@ class SkipGateESANet(_DualEncoderParts):
         temp: float = 1.0,
         baseline: bool = False,
         return_weight: bool = False,
+        force_path: Optional[int] = None,
     ):
         """Hard-gate batched inference with batch-adaptive depth skipping.
 
@@ -218,7 +219,11 @@ class SkipGateESANet(_DualEncoderParts):
         rgb, depth = self._stems(rgb, depth, train)
         weight = self.gate_weights(rgb, depth, temp=temp, hard=True,
                                    train=train, baseline=baseline)
-        k_max = jnp.max(jnp.argmax(weight, axis=-1)).astype(jnp.int32)
+        if force_path is not None:  # static path override (benchmarks/tests)
+            weight = jnp.zeros_like(weight).at[:, force_path].set(1.0)
+            k_max = jnp.int32(force_path)
+        else:
+            k_max = jnp.max(jnp.argmax(weight, axis=-1)).astype(jnp.int32)
         rgb1 = self.encoder_rgb.layer1(rgb, train)
 
         def make_path(n_fused: int):

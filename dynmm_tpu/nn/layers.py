@@ -396,6 +396,77 @@ class _DepthwiseParams(nn.Module):
         self.bias = self.param("bias", nn.initializers.zeros, (self.channels,))
 
 
+# Phase-merge matrix for fusing nearest-×2 + 3×3 depthwise conv into one
+# dilated conv: output row phase a∈{0,1} at src offset s reads the k-rows in
+# S_r — phase 0: {-1: k0, 0: k1+k2}; phase 1: {0: k0+k1, +1: k2} (from
+# up[p] = x[p//2] index algebra). Interleaved into a 4-tap kernel on a
+# 2×-lhs-dilated input with padding 2, rows u=0..3 ↔ (phase, offset)
+# (0,-1),(1,0),(0,0),(1,+1).
+_UPSAMPLE_PHASE_MERGE = jnp.array(
+    [[1.0, 0.0, 0.0], [1.0, 1.0, 0.0], [0.0, 1.0, 1.0], [0.0, 0.0, 1.0]]
+)
+
+
+def learned3x3_zeropad_fused(
+    x: jax.Array, k3: jax.Array, bias: jax.Array, impl: str = "shift"
+):
+    """nearest-×2 followed by zero-padded depthwise 3×3 conv, fused so the
+    4×-larger nearest intermediate never hits HBM (the decoder's dominant
+    HBM-traffic term; reference semantics ``model.py:385-391``). Exact up to
+    kernel-entry pre-summation.
+
+    The output decomposes into 4 polyphase components, each a per-channel
+    2×2 stencil of the *input* map (from ``up[p] = x[p//2]`` index algebra).
+
+    impl='shift': 16 broadcast FMAs on shifted input slices + one interleave
+    reshape — pure elementwise work XLA fuses into a single pass (TPU
+    depthwise convs with lhs_dilation lower poorly, measured).
+    impl='dilated': one depthwise conv with a 4×4 phase-merged kernel on a
+    2×-lhs-dilated input.
+
+    x: (N, H, W, C); k3: (3, 3, C) depthwise taps; bias: (C,).
+    """
+    n, h, w, c = x.shape
+    a = _UPSAMPLE_PHASE_MERGE.astype(k3.dtype)
+    kt = jnp.einsum("us,stc,vt->uvc", a, k3, a)  # (4, 4, C)
+    if impl == "dilated":
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, (4, 4, 1, c), ("NHWC", "HWIO", "NHWC")
+        )
+        out = jax.lax.conv_general_dilated(
+            x,
+            kt[:, :, None, :],
+            window_strides=(1, 1),
+            padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=dn,
+            feature_group_count=c,
+        )
+        return out + bias
+
+    # kt rows/cols u ∈ 0..3 ↔ (phase a, src offset s): (0,-1),(1,0),(0,0),(1,+1)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def sl(s, t):  # input shifted by (s, t) ∈ {-1, 0, 1}
+        return jax.lax.dynamic_slice(xp, (0, 1 + s, 1 + t, 0), (n, h, w, c))
+
+    u_of = {(0, -1): 0, (1, 0): 1, (0, 0): 2, (1, 1): 3}
+
+    def phase(pa, pb):
+        offs = ((-1, 0) if pa == 0 else (0, 1), (-1, 0) if pb == 0 else (0, 1))
+        acc = None
+        for s in offs[0]:
+            for t in offs[1]:
+                term = kt[u_of[(pa, s)], u_of[(pb, t)]] * sl(s, t)
+                acc = term if acc is None else acc + term
+        return acc + bias
+
+    row0 = jnp.stack([phase(0, 0), phase(0, 1)], axis=3)  # (N,H,W,2,C)
+    row1 = jnp.stack([phase(1, 0), phase(1, 1)], axis=3)
+    out6 = jnp.stack([row0, row1], axis=2)  # (N,H,2,W,2,C)
+    return out6.reshape(n, 2 * h, 2 * w, c)
+
+
 class Upsample(nn.Module):
     """×2 upsampling: 'nearest' | 'bilinear' | 'learned-3x3' | 'learned-3x3-zeropad'.
 
@@ -403,15 +474,18 @@ class Upsample(nn.Module):
     initialized to the bilinear kernel (``model.py:360-410``). 'learned-3x3'
     replication-pads by 1 then convs valid; '-zeropad' zero-pads inside conv.
 
-    ``use_pallas`` routes the zeropad variant through the fused Pallas kernel
-    (``dynmm_tpu.kernels.upsample``) which never materializes the 4×-larger
-    nearest intermediate — the decoder's dominant HBM-traffic term.
+    ``fused`` (default) lowers the zeropad variant to one dilated depthwise
+    conv (``learned3x3_zeropad_fused``) so the 4×-larger nearest intermediate
+    never hits HBM. ``use_pallas`` instead routes through the Pallas kernel
+    (``dynmm_tpu.kernels.upsample``).
     """
 
     mode: str
     channels: Optional[int] = None
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
+    fused: bool = True
+    fused_impl: str = "shift"
 
     @nn.compact
     def __call__(self, x):
@@ -435,6 +509,10 @@ class Upsample(nn.Module):
                 from dynmm_tpu.kernels.upsample import fused_learned_upsample
 
                 return fused_learned_upsample(x, kernel[:, :, 0, :], bias)
+            if self.mode == "learned-3x3-zeropad" and self.fused:
+                return learned3x3_zeropad_fused(
+                    x, kernel[:, :, 0, :], bias, impl=self.fused_impl
+                )
             x = resize_nearest(x, (h, w))
             if self.mode == "learned-3x3":
                 x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
