@@ -2,27 +2,37 @@
 inference throughput on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N, ...}
 
-value        = batched (bs=8, the reference's eval batch) hard-gate eval
-               throughput via batch-adaptive routing (bit-equal to dense
-               hard-gate eval; depth stages beyond the batch's max selected
-               path are skipped). Gate decisions come from the live gate.
-vs_baseline  = value / static-baseline throughput measured identically on the
-               same chip (baseline = always-fuse path 4 = static ESANet
-               compute, no gate). The reference repo publishes no throughput
-               numbers (SURVEY §6), so the static model on identical hardware
-               is the baseline; with an untrained gate this hovers near 1.0
-               (gate cost ≈ skipped work) — it becomes meaningful with
-               trained gates that pick cheap paths.
+value        = bs=8 hard-gate eval throughput with PER-SAMPLE bucket-compacted
+               routing (``forward_routed_compact``; results match dense hard
+               eval — tests/test_routed_compact.py) using the TRAINED gate
+               committed at bench_assets/gate_trained.msgpack
+               (tools/train_bench_gate.py: gate-only self-distillation against
+               the always-fuse teacher + the reference's resource loss), timed
+               over a 16-batch synthetic eval stream whose depth
+               informativeness varies per sample — so the gate routes
+               input-dependently and the number reflects real mixed-path
+               skipping, not a degenerate all-one-path batch.
+vs_baseline  = value / static-baseline (always-fuse dense, no gate — the
+               reference's ESANet compute) throughput measured identically on
+               the same chip in the same process. The reference publishes no
+               throughput numbers (SURVEY §6), so the static model on
+               identical hardware is the baseline.
+
+Also reported in the same JSON object: per-path forced throughputs (k=0..4,
+real skipping via the 5-way switch), batch-max routing throughput, and the
+trained gate's branch ratios.
 
 Timing methodology: this environment reaches the TPU through a high-latency
 tunnel where per-call host timing is meaningless, so each measurement runs
 N iterations *inside one jit* via ``lax.scan`` (iterations chained through a
 data dependency so XLA cannot hoist the body) and reads back one scalar; a
 no-op jit call of the same arity calibrates the fixed round-trip overhead.
+The headline scans over 16 DISTINCT batches so per-batch gate decisions and
+bucket sizes vary as they would in serving.
 
-Extra diagnostics (per-path latency, batched dense throughput) go to stderr;
+Extra diagnostics (bs=1 switch latency, bf16) go to stderr with BENCH_FULL=1;
 stdout stays one JSON line.
 """
 
@@ -37,11 +47,13 @@ import time
 import numpy as np
 
 SCAN_ITERS = int(os.environ.get("BENCH_SCAN_ITERS", "10"))
+N_BATCHES = 16
+BS = 8
 
 
 def setup_compilation_cache():
     """Persist compiled programs across bench runs (first compile of the
-    5-branch switch graph is minutes; later runs are instant)."""
+    bucket-switch graphs is minutes; later runs are instant)."""
     import jax
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -79,8 +91,27 @@ def make_scan_bench(apply_fn):
     return run
 
 
-def measure(run, nop, *args, reps: int = 3) -> float:
+def make_stream_bench(apply_fn, n_batches):
+    """Scan over a STREAM of distinct batches (n_batches, bs, H, W, C): each
+    iteration routes its own batch, so gate decisions / bucket sizes vary."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(variables, rgbs, depths):
+        def body(carry, xb):
+            rgb, depth = xb
+            out = apply_fn(variables, rgb + carry, depth)
+            return 1e-30 * jnp.mean(out), ()
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), (rgbs, depths))
+        return carry
+
+    return run
+
+
+def measure(run, nop, *args, reps: int = 3, iters: int | None = None) -> float:
     """Seconds per iteration, overhead-corrected, best of ``reps``."""
+    iters = iters if iters is not None else SCAN_ITERS
     float(run(*args))  # compile + warm
     float(nop(*args))
     best = np.inf
@@ -91,8 +122,41 @@ def measure(run, nop, *args, reps: int = 3) -> float:
         t0 = time.perf_counter()
         float(nop(*args))
         overhead = time.perf_counter() - t0
-        best = min(best, max(total - overhead, 1e-9) / SCAN_ITERS)
+        best = min(best, max(total - overhead, 1e-9) / iters)
     return best
+
+
+def make_eval_batch(rng, bs, h, w):
+    """Synthetic eval stream matching tools/train_bench_gate.py: half the
+    samples get rgb-correlated (informative) depth, half near-zero depth."""
+    rgb = rng.standard_normal((bs, h, w, 3)).astype(np.float32)
+    base = rgb.mean(axis=-1, keepdims=True)
+    depth = np.where(
+        (np.arange(bs) % 2 == 0)[:, None, None, None],
+        base + 0.3 * rng.standard_normal((bs, h, w, 1)).astype(np.float32),
+        0.02 * rng.standard_normal((bs, h, w, 1)).astype(np.float32),
+    )
+    return rgb, depth
+
+
+def load_trained_gate(variables):
+    """Swap in the committed trained gate; returns (variables, ratios|None)."""
+    import flax.serialization
+    import jax
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_assets", "gate_trained.msgpack")
+    if not os.path.exists(path):
+        return variables, None
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    gate = flax.serialization.from_state_dict(
+        variables["params"]["gate_layer"], payload["gate_params"]
+    )
+    params = dict(variables["params"])
+    params["gate_layer"] = gate
+    variables = {**variables, "params": params}
+    return variables, np.asarray(payload["branch_ratios"])
 
 
 def main():
@@ -105,92 +169,126 @@ def main():
     h, w = 480, 640
     model = _flagship(h, w)
     rng = np.random.default_rng(0)
-    rgb = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(np.float32))
-    depth = jnp.asarray(rng.standard_normal((1, h, w, 1)).astype(np.float32))
+    rgb0, depth0 = make_eval_batch(rng, BS, h, w)
+    rgb = jnp.asarray(rgb0)
+    depth = jnp.asarray(depth0)
 
     log(f"devices: {jax.devices()}")
     variables = model.init(jax.random.PRNGKey(0), rgb, depth, train=False)
+    variables, trained_ratios = load_trained_gate(variables)
+    gate_kind = "trained" if trained_ratios is not None else "untrained"
+    log(f"gate: {gate_kind}"
+        + (f" (ratios {np.array2string(trained_ratios, precision=3)})"
+           if trained_ratios is not None else ""))
+
+    # eval stream: 16 distinct batches, same distribution as gate training
+    eval_rng = np.random.default_rng(1234)
+    batches = [make_eval_batch(eval_rng, BS, h, w) for _ in range(N_BATCHES)]
+    rgbs = jnp.asarray(np.stack([b[0] for b in batches]))
+    depths = jnp.asarray(np.stack([b[1] for b in batches]))
 
     @jax.jit
     def nop(variables, rgb, depth):
         return jnp.sum(rgb[0, 0, 0])
 
-    bs = 8
-    rgb8 = jnp.tile(rgb, (bs, 1, 1, 1))
-    depth8 = jnp.tile(depth, (bs, 1, 1, 1))
+    @jax.jit
+    def nop_stream(variables, rgbs, depths):
+        return jnp.sum(rgbs[0, 0, 0, 0])
 
-    # Headline: batched hard-gate eval throughput via batch-adaptive routing
-    # (bit-equal to dense hard-gate eval — tests/test_switch_batched.py — but
-    # depth stages beyond the batch's max selected path are skipped).
-    fd = make_scan_bench(
-        lambda v, r, d: model.apply(v, r, d, method=model.forward_switch_batched)
+    # Headline: per-sample bucket-compacted routing over the batch stream.
+    f_routed = make_stream_bench(
+        lambda v, r, d: model.apply(v, r, d, method=model.forward_routed_compact),
+        N_BATCHES,
     )
-    td = measure(fd, nop, variables, rgb8, depth8)
-    log(f"bs={bs} routed hard: {td*1e3:.2f} ms/batch ({bs/td:.1f} fps)")
+    td = measure(f_routed, nop_stream, variables, rgbs, depths,
+                 iters=N_BATCHES)
+    log(f"bs={BS} routed compact (per-sample buckets): "
+        f"{td*1e3:.2f} ms/batch ({BS/td:.1f} fps)")
 
-    # Baseline: static ESANet compute (always-fuse) at the same batch.
-    fb = make_scan_bench(
-        lambda v, r, d: model.apply(v, r, d, train=False, baseline=True)
+    # Baseline: static ESANet compute (always-fuse dense, no gate).
+    f_base = make_stream_bench(
+        lambda v, r, d: model.apply(v, r, d, train=False, baseline=True),
+        N_BATCHES,
     )
-    tb = measure(fb, nop, variables, rgb8, depth8)
-    log(f"bs={bs} dense baseline: {tb*1e3:.2f} ms/batch ({bs/tb:.1f} fps)")
+    tb = measure(f_base, nop_stream, variables, rgbs, depths, iters=N_BATCHES)
+    log(f"bs={BS} dense baseline:  {tb*1e3:.2f} ms/batch ({BS/tb:.1f} fps)")
 
-    # Diagnostics: bs=1 latency-mode switch routing + per-path latency.
-    # Each adds a multi-minute compile on a cold cache; opt in via BENCH_FULL=1.
+    # Batch-max routing (the coarser strategy) on the same stream.
+    f_bmax = make_stream_bench(
+        lambda v, r, d: model.apply(v, r, d, method=model.forward_switch_batched),
+        N_BATCHES,
+    )
+    tm = measure(f_bmax, nop_stream, variables, rgbs, depths, iters=N_BATCHES)
+    log(f"bs={BS} routed batch-max: {tm*1e3:.2f} ms/batch ({BS/tm:.1f} fps)")
+
+    # Per-path forced throughput (real skipping, whole batch on path k).
+    per_path = {}
+    for k in range(5):
+        fk = make_scan_bench(
+            functools.partial(
+                lambda v, r, d, k: model.apply(
+                    v, r, d, force_path=k, method=model.forward_switch_batched
+                ),
+                k=k,
+            )
+        )
+        tk = measure(fk, nop, variables, rgb, depth, reps=2)
+        per_path[f"k{k}"] = round(BS / tk, 1)
+        log(f"  forced path k={k}: {tk*1e3:.2f} ms/batch ({BS/tk:.1f} fps)")
+
+    # live gate path histogram on the eval stream (hard selections)
+    @jax.jit
+    def paths_of(v, r, d):
+        _, wgt = model.apply(v, r, d, train=False, hard=True,
+                             return_weight=True)
+        return jnp.argmax(wgt, axis=-1)
+
+    counts = np.zeros(5, np.int64)
+    for i in range(N_BATCHES):
+        p = np.asarray(paths_of(variables, rgbs[i], depths[i]))
+        counts += np.bincount(p, minlength=5)
+    ratios = (counts / counts.sum()).round(4)
+    log(f"live branch ratios on eval stream: {ratios}")
+
     try:
         if os.environ.get("BENCH_FULL", "0") in ("", "0", "false"):
             raise _SkipDiagnostics
         fdd = make_scan_bench(
             lambda v, r, d: model.apply(v, r, d, train=False, hard=True)
         )
-        tdd = measure(fdd, nop, variables, rgb8, depth8, reps=1)
-        log(f"bs={bs} dense hard: {tdd*1e3:.2f} ms/batch ({bs/tdd:.1f} fps)")
+        tdd = measure(fdd, nop, variables, rgb, depth, reps=1)
+        log(f"bs={BS} dense hard: {tdd*1e3:.2f} ms/batch ({BS/tdd:.1f} fps)")
+        rgb1, depth1 = rgb[:1], depth[:1]
         t_dyn = measure(
             make_scan_bench(
                 lambda v, r, d: model.apply(v, r, d, method=model.forward_switch)
             ),
-            nop, variables, rgb, depth, reps=1,
+            nop, variables, rgb1, depth1, reps=1,
         )
-        t_base = measure(
-            make_scan_bench(
-                lambda v, r, d: model.apply(
-                    v, r, d, baseline=True, method=model.forward_switch
-                )
-            ),
-            nop, variables, rgb, depth, reps=1,
-        )
-        log(f"bs=1 switch: dynamic {t_dyn*1e3:.2f} ms ({1/t_dyn:.1f} fps) | "
-            f"static-baseline {t_base*1e3:.2f} ms ({1/t_base:.1f} fps)")
-        for k in (0, 4):
-            fk = make_scan_bench(
-                functools.partial(
-                    lambda v, r, d, k: model.apply(
-                        v, r, d, force_path=k, method=model.forward_switch
-                    ),
-                    k=k,
-                )
-            )
-            tk = measure(fk, nop, variables, rgb, depth, reps=1)
-            log(f"  path k={k}: {tk*1e3:.2f} ms ({1/tk:.1f} fps)")
-        # bf16 compute (params fp32, activations bf16) at the same batch
+        log(f"bs=1 switch routed: {t_dyn*1e3:.2f} ms ({1/t_dyn:.1f} fps)")
         model_bf16 = _flagship(h, w, dtype=jnp.bfloat16)
         fbf = make_scan_bench(
             lambda v, r, d: model_bf16.apply(v, r, d, train=False, hard=True)
         )
-        tbf = measure(fbf, nop, variables, rgb8, depth8, reps=1)
-        log(f"bs={bs} dense hard bf16: {tbf*1e3:.2f} ms/batch ({bs/tbf:.1f} fps)")
+        tbf = measure(fbf, nop, variables, rgb, depth, reps=1)
+        log(f"bs={BS} dense hard bf16: {tbf*1e3:.2f} ms/batch ({BS/tbf:.1f} fps)")
     except _SkipDiagnostics:
-        log("diagnostics skipped (set BENCH_FULL=1 to enable)")
+        log("bf16/bs=1 diagnostics skipped (set BENCH_FULL=1 to enable)")
     except Exception as e:  # diagnostics must never kill the bench
         log(f"diagnostics failed: {e}")
 
     print(
         json.dumps(
             {
-                "metric": "nyuv2_skipgate_r34nbt1d_480x640_bs8_hardgate_fps",
-                "value": round(bs / td, 3),
+                "metric": "nyuv2_skipgate_r34nbt1d_480x640_bs8_trainedgate_fps",
+                "value": round(BS / td, 3),
                 "unit": "frames/sec",
                 "vs_baseline": round(tb / td, 4),
+                "baseline_fps": round(BS / tb, 1),
+                "batchmax_fps": round(BS / tm, 1),
+                "per_path_fps": per_path,
+                "branch_ratios": ratios.tolist(),
+                "gate": gate_kind,
             }
         )
     )

@@ -76,7 +76,7 @@ class CityscapesDataset(_PreparedRGBDDataset):
     N_CLASSES = 19  # reduced label set; 33 = full
     CAMERAS = ("camera1",)
     DEPTH_STATS = {
-        "refined": (31.715617493177906, 38.70280704877372),  # disparity meters
+        "refined": (31.715617493177906, 38.70280704877372),  # depth, meters
         "raw": (9069.706336834102, 7178.335960071306),       # raw disparity
     }
     LABEL_DIR = "labels_19"
@@ -86,6 +86,17 @@ class CityscapesDataset(_PreparedRGBDDataset):
         self.N_CLASSES = n_classes
         self.LABEL_DIR = f"labels_{n_classes}"
         super().__init__(root, split=split, depth_mode=depth_mode)
+
+    def load_depth(self, idx: int) -> np.ndarray:
+        """'raw' = 16-bit disparity png; 'refined' = metric float16 .npy
+        derived by ``prepare_cityscapes`` (disparity→depth with per-sample
+        camera parameters)."""
+        if self.depth_mode == "raw":
+            return self._png("disparity_raw", idx)
+        path = os.path.join(
+            self.root, self.split, "depth_raw", f"{self.ids[idx]}.npy"
+        )
+        return np.load(path).astype(np.float32)
 
 
 class SceneNetRGBDDataset(_PreparedRGBDDataset):

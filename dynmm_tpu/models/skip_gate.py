@@ -263,6 +263,109 @@ class SkipGateESANet(_DualEncoderParts):
             return out, weight
         return out
 
+    # ------------------------------- per-sample bucket-compacted routing
+    def forward_routed_compact(
+        self,
+        rgb,
+        depth,
+        temp: float = 1.0,
+        baseline: bool = False,
+        return_weight: bool = False,
+    ):
+        """Hard-gate batched inference with PER-SAMPLE depth skipping.
+
+        ``forward_switch_batched`` skips at batch-max granularity — one
+        expensive sample forfeits the whole batch's savings. Here each depth
+        stage i runs only on the participating samples (``k ≥ i``, a
+        monotone-shrinking set): participants are gathered into a
+        power-of-2-capacity buffer chosen by ``lax.switch`` over
+        ``{0,1,2,...,bs}``, the stage + SE fusion run on that bucket, and the
+        results scatter back into original batch order. Per-sample mixing
+        uses the same cumulative hard one-hot weights as the dense forward,
+        so non-participants reduce to exactly ``rgb`` and results match dense
+        hard eval (``tests/test_routed_compact.py``).
+
+        Static shapes throughout: the capacity switch compiles
+        len(caps) subgraphs per stage; padding lanes compute on zeros and
+        their scatter is the identity (their mix weight is 1·rgb).
+        """
+        train = False
+        rgb, depth = self._stems(rgb, depth, train)
+        weight = self.gate_weights(rgb, depth, temp=temp, hard=True,
+                                   train=train, baseline=baseline)
+        k = jnp.argmax(weight, axis=-1).astype(jnp.int32)
+        bs = rgb.shape[0]
+
+        caps = [0]
+        c = 1
+        while c < bs:
+            caps.append(c)
+            c *= 2
+        caps.append(bs)
+        caps = sorted(set(caps))
+        caps_arr = jnp.asarray(caps, jnp.int32)
+
+        h4, w4 = self.cfg.height // 4, self.cfg.width // 4
+        ch = self.encoder_depth.down_channels
+        stage_shapes = {
+            1: (h4, w4, ch[4]),
+            2: (h4 // 2, w4 // 2, ch[8]),
+            3: (h4 // 4, w4 // 4, ch[16]),
+            4: (h4 // 8, w4 // 8, ch[32]),
+        }
+
+        def bucketed_depth_fuse(i, depth_buf, rgb_i):
+            m = k >= i
+            idx = jnp.argsort(jnp.logical_not(m))  # participants first
+            ci = jnp.searchsorted(caps_arr, m.sum().astype(jnp.int32))
+            out_shape = (bs,) + stage_shapes[i]
+
+            def make_branch(cap):
+                def br(_):
+                    if cap == 0:
+                        return rgb_i, jnp.zeros(out_shape, depth_buf.dtype)
+                    sel = idx[:cap]
+                    d_part = getattr(self.encoder_depth, f"layer{i}")(
+                        jnp.take(depth_buf, sel, axis=0), train
+                    )
+                    r_part = jnp.take(rgb_i, sel, axis=0)
+                    fuse_part = self.fuse(i, r_part, d_part)
+                    if i < 4:
+                        wc = jnp.take(weight[:, :i].sum(axis=1), sel)
+                        mixed = (
+                            wc[:, None, None, None] * r_part
+                            + (1.0 - wc)[:, None, None, None] * fuse_part
+                        )
+                    else:
+                        w4 = jnp.take(weight[:, 4], sel)
+                        mixed = (
+                            (1.0 - w4)[:, None, None, None] * r_part
+                            + w4[:, None, None, None] * fuse_part
+                        )
+                    fused = rgb_i.at[sel].set(mixed)
+                    d_next = jnp.zeros(out_shape, depth_buf.dtype).at[sel].set(
+                        d_part
+                    )
+                    return fused, d_next
+
+                return br
+
+            return jax.lax.switch(ci, [make_branch(c) for c in caps], ())
+
+        skips = []
+        fused = rgb
+        depth_buf = depth
+        for i in (1, 2, 3):
+            rgb_i = getattr(self.encoder_rgb, f"layer{i}")(fused, train)
+            fused, depth_buf = bucketed_depth_fuse(i, depth_buf, rgb_i)
+            skips.append(self.skip(i, fused, train))
+        rgb4 = self.encoder_rgb.layer4(fused, train)
+        fused, _ = bucketed_depth_fuse(4, depth_buf, rgb4)
+        out = self.head(fused, skips, train)
+        if return_weight:
+            return out, weight
+        return out
+
     # ------------------------------------------------------ hard, real skips
     def forward_switch(
         self,

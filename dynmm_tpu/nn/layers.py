@@ -408,7 +408,7 @@ _UPSAMPLE_PHASE_MERGE = jnp.array(
 
 
 def learned3x3_zeropad_fused(
-    x: jax.Array, k3: jax.Array, bias: jax.Array, impl: str = "shift"
+    x: jax.Array, k3: jax.Array, bias: jax.Array, impl: str = "auto"
 ):
     """nearest-×2 followed by zero-padded depthwise 3×3 conv, fused so the
     4×-larger nearest intermediate never hits HBM (the decoder's dominant
@@ -419,14 +419,21 @@ def learned3x3_zeropad_fused(
     2×2 stencil of the *input* map (from ``up[p] = x[p//2]`` index algebra).
 
     impl='shift': 16 broadcast FMAs on shifted input slices + one interleave
-    reshape — pure elementwise work XLA fuses into a single pass (TPU
-    depthwise convs with lhs_dilation lower poorly, measured).
+    reshape — pure elementwise work XLA fuses into a single pass.
     impl='dilated': one depthwise conv with a 4×4 phase-merged kernel on a
     2×-lhs-dilated input.
+    impl='auto' (default): measured policy on v5e — 'dilated' for narrow
+    (<128-lane) channel counts, where the shift form's interleave overfuses
+    into consumers and costs ~3 ms per final C=40 map at 480×640/bs=8
+    (in-model: 6.2 ms shift vs 0.2 ms dilated for the two logits upsamples);
+    'shift' for ≥128 channels, where the dilated depthwise lowering loses
+    ~6 ms across the wide decoder upsamples instead.
 
     x: (N, H, W, C); k3: (3, 3, C) depthwise taps; bias: (C,).
     """
     n, h, w, c = x.shape
+    if impl == "auto":
+        impl = "dilated" if c < 128 else "shift"
     a = _UPSAMPLE_PHASE_MERGE.astype(k3.dtype)
     kt = jnp.einsum("us,stc,vt->uvc", a, k3, a)  # (4, 4, C)
     if impl == "dilated":
@@ -485,7 +492,7 @@ class Upsample(nn.Module):
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
     fused: bool = True
-    fused_impl: str = "shift"
+    fused_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):

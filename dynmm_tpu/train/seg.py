@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import pickle
 import time
 from typing import Any, Optional
 
@@ -40,7 +41,8 @@ from dynmm_tpu.core.schedules import ExpDecayTemp
 from dynmm_tpu.nn.layers import resize_bilinear
 from dynmm_tpu.train.metrics import ConfusionMatrix
 from dynmm_tpu.train.seg_losses import StreamingValidLoss, multiscale_ce
-from dynmm_tpu.utils.checkpoint import load_ckpt, save_ckpt
+from dynmm_tpu.utils.checkpoint import (load_ckpt, save_ckpt,
+                                         save_ckpt_every_epoch)
 from dynmm_tpu.utils.logger import CSVLogger
 
 DOWN_RATES = (8, 16, 32)
@@ -374,9 +376,12 @@ class SegTrainer:
         valid_loss: Optional[StreamingValidLoss] = None,
         collect_weights: Optional[GateStats] = None,
         ini_stage: bool = False,
+        out_cms: Optional[dict] = None,
     ):
         """Per-camera eval: returns ({camera: miou}, logs). Matches the
-        reference post-processing chain exactly (resize→argmax→mask→−1)."""
+        reference post-processing chain exactly (resize→argmax→mask→−1).
+        ``out_cms`` (if given) is filled with {camera: confusion matrix array}
+        for the caller to pickle (train.py:520-527)."""
         cfg = self.cfg
         logs = logs if logs is not None else {}
         n_classes = int(self.class_weights.shape[0])
@@ -406,6 +411,8 @@ class SegTrainer:
                 )
             miou[camera] = cm.miou()
             logs[f"mIoU_{split}_{camera}"] = miou[camera]
+            if out_cms is not None:
+                out_cms[camera] = np.asarray(cm.matrix)
 
         logs["time_validation"] = time.time() - t_val0
         logs["time_forward"] = self._phase_forward
@@ -499,11 +506,20 @@ class SegTrainer:
                 f"Flop loss {logs['loss_flop']:.4f} | Temperature {temp:.5f} | lr {lr:.6f}"
             )
             if epoch == start_epoch or epoch % cfg.eval_every == 0:
+                cms: dict = {}
                 miou, logs = self.validate(
                     state, valid_loader, logs,
                     valid_loss=StreamingValidLoss(self.class_weights),
                     ini_stage=epoch < cfg.epoch_ini,
+                    out_cms=cms,
                 )
+                # per-epoch confusion-matrix pickles, for computing other
+                # metrics later (reference train.py:520-527)
+                with open(
+                    os.path.join(ckpt_dir, "confusion_matrices",
+                                 f"cm_epoch_{epoch}.pickle"), "wb",
+                ) as f:
+                    pickle.dump(cms, f, protocol=pickle.HIGHEST_PROTOCOL)
                 cam0 = cameras[0]
                 if miou[cam0] > best_miou:
                     best_miou = miou[cam0]
@@ -514,6 +530,10 @@ class SegTrainer:
                     f"| Best epoch {best_miou_epoch}"
                 )
             csvlogger.write_logs(logs)
+            # rolling resume checkpoint with optimizer state + best_miou
+            # (reference src/utils.py:118-143 save_ckpt_every_epoch)
+            save_ckpt_every_epoch(ckpt_dir, state, epoch, best_miou,
+                                  best_miou_epoch)
             if epoch >= 10 and epoch % cfg.save_every == cfg.save_every - 1:
                 save_ckpt(ckpt_dir, state, epoch)
 

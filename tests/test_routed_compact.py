@@ -1,0 +1,114 @@
+"""Per-sample bucket-compacted routing must match dense hard eval.
+
+``forward_routed_compact`` gathers each depth stage's participating samples
+(k ≥ i) into power-of-2 capacity buckets, runs the stage on the bucket only,
+and scatters back. For every path pattern the logits must match the dense
+hard forward (same mixing math; non-participants reduce to exactly rgb)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dynmm_tpu.models.esanet import ESANetConfig
+from dynmm_tpu.models.skip_gate import SkipGateESANet
+
+CFG = ESANetConfig(
+    height=64, width=64, num_classes=5,
+    encoder_rgb="resnet18", encoder_depth="resnet18",
+    encoder_block="BasicBlock",
+    channels_decoder=(32, 32, 32), nr_decoder_blocks=(1, 1, 1),
+    fuse_depth_in_rgb_encoder="SE-add", context_module="ppm",
+    upsampling="learned-3x3-zeropad",
+)
+
+
+class FixedGateNet(SkipGateESANet):
+    """Gate override: per-sample paths supplied out-of-band for testing."""
+
+    def gate_weights(self, rgb, depth, **kw):
+        paths = self.variables.get("test_paths", None)
+        assert paths is not None
+        return jax.nn.one_hot(
+            paths["paths"][: rgb.shape[0]], 5, dtype=rgb.dtype
+        )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = FixedGateNet(CFG)
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.standard_normal((8, 64, 64, 3)).astype(np.float32))
+    depth = jnp.asarray(rng.standard_normal((8, 64, 64, 1)).astype(np.float32))
+    variables = dict(
+        SkipGateESANet(CFG).init(jax.random.PRNGKey(0), rgb, depth, train=False)
+    )
+    return model, variables, rgb, depth
+
+
+@pytest.mark.parametrize(
+    "paths",
+    [
+        [0, 0, 0, 0, 0, 0, 0, 0],
+        [4, 4, 4, 4, 4, 4, 4, 4],
+        [0, 4, 2, 1, 3, 0, 0, 2],
+        [4, 0, 0, 0, 0, 0, 0, 0],   # one expensive sample
+        [1, 1, 2, 2, 3, 3, 3, 1],
+    ],
+    ids=["all-cheap", "all-fuse", "mixed", "one-expensive", "no-zeros"],
+)
+def test_compact_matches_dense(setup, paths, ):
+    model, variables, rgb, depth = setup
+    v = {**variables, "test_paths": {"paths": jnp.asarray(paths, jnp.int32)}}
+
+    dense = model.apply(v, rgb, depth, train=False, hard=True)
+    compact = model.apply(v, rgb, depth, method=model.forward_routed_compact)
+    np.testing.assert_allclose(
+        np.asarray(compact), np.asarray(dense), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_compact_matches_batched_switch(setup):
+    model, variables, rgb, depth = setup
+    v = {
+        **variables,
+        "test_paths": {"paths": jnp.asarray([2, 0, 1, 2, 0, 0, 1, 2])},
+    }
+    batched = model.apply(v, rgb, depth, method=model.forward_switch_batched)
+    compact = model.apply(v, rgb, depth, method=model.forward_routed_compact)
+    np.testing.assert_allclose(
+        np.asarray(compact), np.asarray(batched), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_compact_odd_batch(setup):
+    """Non-power-of-2 batch sizes get a bs-sized terminal capacity."""
+    model, variables, _, _ = setup
+    rng = np.random.default_rng(3)
+    rgb = jnp.asarray(rng.standard_normal((5, 64, 64, 3)).astype(np.float32))
+    depth = jnp.asarray(rng.standard_normal((5, 64, 64, 1)).astype(np.float32))
+    v = {**variables, "test_paths": {"paths": jnp.asarray([4, 3, 0, 1, 4])}}
+    dense = model.apply(v, rgb, depth, train=False, hard=True)
+    compact = model.apply(v, rgb, depth, method=model.forward_routed_compact)
+    np.testing.assert_allclose(
+        np.asarray(compact), np.asarray(dense), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_compact_live_gate(setup):
+    """With the real (random-init) gate the compact path must agree with the
+    dense hard forward and report identical weights."""
+    _, variables, rgb, depth = setup
+    model = SkipGateESANet(CFG)
+    dense, w_dense = model.apply(
+        variables, rgb, depth, train=False, hard=True, return_weight=True
+    )
+    compact, w_compact = model.apply(
+        variables, rgb, depth, method=model.forward_routed_compact,
+        return_weight=True,
+    )
+    np.testing.assert_array_equal(np.asarray(w_dense), np.asarray(w_compact))
+    np.testing.assert_allclose(
+        np.asarray(compact), np.asarray(dense), atol=1e-5, rtol=1e-5
+    )
