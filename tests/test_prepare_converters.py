@@ -179,3 +179,120 @@ def test_nyuv2_class13_table():
     assert MAP_40_TO_13[22] == 3
     assert MAP_40_TO_13[25] == 11
     assert MAP_40_TO_13.max() == 13
+
+
+# ----------------------------------------------------------- SceneNetRGBD
+def _pb_varint(n):
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        out += bytes([b7 | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def _pb_field(fnum, payload):
+    """Length-delimited field (wire type 2)."""
+    return _pb_varint((fnum << 3) | 2) + _pb_varint(len(payload)) + payload
+
+
+def _pb_int(fnum, val):
+    return _pb_varint(fnum << 3) + _pb_varint(val)
+
+
+def _encode_trajectories(trajs):
+    """Encode [(render_path, [(iid, wnid, itype)], [frame_nums])] as a
+    scenenet.proto Trajectories message."""
+    msg = b""
+    for render_path, instances, frames in trajs:
+        t = b""
+        for iid, wnid, itype in instances:
+            inst = _pb_int(1, iid) + _pb_field(2, wnid.encode()) \
+                + _pb_int(4, itype)
+            t += _pb_field(2, inst)
+        for fn in frames:
+            t += _pb_field(3, _pb_int(1, fn))
+        t += _pb_field(4, render_path.encode())
+        msg += _pb_field(1, t)
+    return msg
+
+
+def _make_scenenet_raw(tmp_path):
+    from dynmm_tpu.data.prepare_scenenet import parse_trajectories
+
+    root = tmp_path / "scenenet_raw"
+    rng = np.random.default_rng(2)
+    recorded = {}
+    # trajectory '0/123': background + chair(03001627->4) + bed(02920259->1)
+    # trajectory '0/999': instance png indexes past the instance list -> the
+    # reference discards the whole trajectory
+    for split_dir, pb_name, paths in [
+        ("train", "scenenet_rgbd_train_0.pb", ["0/123", "0/999"]),
+        ("val", "scenenet_rgbd_val.pb", ["1/7"]),
+    ]:
+        trajs = []
+        for rp in paths:
+            d = root / split_dir / rp
+            for sub in ("photo", "depth", "instance"):
+                (d / sub).mkdir(parents=True)
+            frames = [0, 25]
+            hi = 3 if rp == "0/999" else 2  # 3 exceeds the instance list
+            for fn in frames:
+                rgb = rng.integers(0, 255, (8, 12, 3), dtype=np.uint8)
+                depth = rng.integers(0, 9000, (8, 12), dtype=np.uint16)
+                inst = rng.integers(0, hi + 1, (8, 12)).astype(np.uint8)
+                inst[0, 0] = hi
+                cv2.imwrite(str(d / "photo" / f"{fn}.jpg"), rgb)
+                cv2.imwrite(str(d / "depth" / f"{fn}.png"), depth)
+                cv2.imwrite(str(d / "instance" / f"{fn}.png"), inst)
+                recorded[(rp, fn)] = (depth, inst)
+            trajs.append(
+                (rp,
+                 [(0, "", 1), (1, "03001627", 2), (2, "02920259", 4)],
+                 frames)
+            )
+        payload = _encode_trajectories(trajs)
+        (root / pb_name).write_bytes(payload)
+        # the wire-format reader inverts the encoder exactly
+        parsed = parse_trajectories(payload)
+        assert [t.render_path for t in parsed] == paths
+        assert parsed[0].instances[1].semantic_wordnet_id == "03001627"
+        assert [v.frame_num for v in parsed[0].views] == [0, 25]
+    return root, recorded
+
+
+def test_scenenet_roundtrip(tmp_path):
+    from dynmm_tpu.data.other_datasets import SceneNetRGBDDataset
+    from dynmm_tpu.data.prepare_scenenet import convert as convert_scenenet
+
+    root, recorded = _make_scenenet_raw(tmp_path)
+    out = tmp_path / "prepared"
+    counts = convert_scenenet(str(out), str(root), n_views_train=2,
+                              n_views_test=2)
+    # bad trajectory 0/999 dropped entirely; 0/123 contributes both views
+    assert counts == {"train": 2, "test": 2}
+
+    ds = SceneNetRGBDDataset(str(out), split="train")
+    assert len(ds) == 2
+    assert all(i.startswith("0_123_") for i in ds.ids)
+    idx = ds.ids.index("0_123_0")
+    depth, inst = recorded[("0/123", 0)]
+    np.testing.assert_array_equal(ds.load_depth(idx).astype(np.uint16), depth)
+    # label = instance -> {0: void, 1: chair=4, 2: bed=1}
+    expect = np.array([0, 4, 1], np.uint8)[inst]
+    np.testing.assert_array_equal(ds.load_label(idx), expect)
+    sample = ds[idx]
+    assert sample["image"].shape == (8, 12, 3)
+    assert sample["label"].max() <= 13
+
+
+def test_scenenet_min_classes_filter(tmp_path):
+    from dynmm_tpu.data.prepare_scenenet import convert as convert_scenenet
+
+    root, _ = _make_scenenet_raw(tmp_path)
+    out = tmp_path / "prepared_minclass"
+    # every synthetic view has 3 distinct classes; demanding 4 keeps none
+    counts = convert_scenenet(str(out), str(root), n_views_train=2,
+                              n_views_test=2, min_classes_in_view=4)
+    assert counts == {"train": 0, "test": 0}
