@@ -112,6 +112,17 @@ def prepare_data(args, with_input_orig: bool = False):
         drop_last=True,
     )
     valid_loader = SegLoader(valid_ds, valid_pre, batch_size=batch_valid)
+    if getattr(args, "valid_full_res", False):
+        # third loader evaluating at the dataset's native resolution
+        # (prepare_data.py:117-161; the reference uses it for cityscapes)
+        full_res_pre = SegPreprocessor(
+            depth_mean, depth_std, None, None, phase="test",
+            depth_mode=depth_mode,
+        )
+        valid_full = SegLoader(
+            make_dataset(args, "test"), full_res_pre, batch_size=batch_valid
+        )
+        return train_loader, valid_loader, valid_full
     return train_loader, valid_loader
 
 

@@ -44,10 +44,16 @@ def main():
     parser.add_argument("--num_runs", "--num-runs", type=int, default=1)
     parser.add_argument("--noise", type=float, default=0.0)
     parser.add_argument("--ini", action="store_true")
+    parser.add_argument("--per_class_iou", "--per-class-iou",
+                        action="store_true",
+                        help="print the per-class IoU table of the last run")
     args = parser.parse_args()
 
     args.pretrained_on_imagenet = False
-    _, data_loader = prepare_data(args, with_input_orig=True)
+    _, data_loader, *extra_loaders = prepare_data(args, with_input_orig=True)
+    if args.valid_full_res:
+        # evaluate at the dataset's native resolution (reference eval.py:51-54)
+        data_loader = extra_loaders[0]
     n_classes = data_loader.dataset.n_classes_without_void
 
     model = build_model(args, n_classes)
@@ -71,8 +77,10 @@ def main():
     print(f"Loaded checkpoint from {args.ckpt_path}")
 
     result = np.zeros(args.num_runs)
+    cms: dict = {}
     for r in range(args.num_runs):
         stats = GateStats() if args.dynamic else None
+        cms = {}
         miou, _ = trainer.validate(
             state,
             data_loader,
@@ -81,10 +89,14 @@ def main():
             run_seed=r,
             collect_weights=stats,
             ini_stage=args.ini,
+            out_cms=cms,
         )
         camera = list(miou)[0]
         result[r] = miou[camera] * 100
         print(f"Run {r}, mIoU: {result[r]:0.2f}")
+        if len(miou) > 1:  # multi-camera datasets: per-camera breakdown
+            per_cam = " | ".join(f"{c}: {v*100:0.2f}" for c, v in miou.items())
+            print(f"  per-camera mIoU  {per_cam}")
         if args.dynamic and args.global_gate and stats is not None and stats.weights.size:
             table = flop_table(args.encoder, "depth_enc")
             total = flop_table(args.encoder, "total")
@@ -95,6 +107,19 @@ def main():
             )
     print(result)
     print(f"Mean {result.mean():.2f}, Std {result.std():.2f}")
+    if args.per_class_iou and cms:
+        from dynmm_tpu.train.metrics import ConfusionMatrix
+
+        names = getattr(
+            data_loader.dataset, "class_names",
+            [f"class_{i}" for i in range(n_classes)],
+        )
+        total = ConfusionMatrix(n_classes)
+        for m in cms.values():
+            total.matrix += m
+        print("per-class IoU (last run, all cameras):")
+        for name, v in zip(names, total.iou()):
+            print(f"  {name:<20} {v*100:6.2f}")
 
 
 if __name__ == "__main__":

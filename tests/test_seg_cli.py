@@ -147,3 +147,74 @@ def test_predict_cli(tmp_path):
     assert "path distribution" in result.stdout
     outs = os.listdir(tmp_path / "preds")
     assert len(outs) == 3
+
+
+def _make_prepared_sunrgbd(root, n_per_cam=2, hw=(64, 64)):
+    """Tiny SUNRGBD-prepared layout: 2 cameras, labels_37, native res hw."""
+    import cv2
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    h, w = hw
+    for split in ("train", "test"):
+        ids, cams = [], []
+        for cam in ("kv1", "kv2"):
+            for i in range(n_per_cam):
+                sid = f"{cam}_{split}_{i}"
+                for sub, img in (
+                    ("rgb", rng.integers(0, 255, (h, w, 3), dtype=np.uint8)),
+                    ("depth", rng.integers(1, 60000, (h, w), dtype=np.uint16)),
+                    ("depth_raw",
+                     rng.integers(1, 60000, (h, w), dtype=np.uint16)),
+                    ("labels_37",
+                     rng.integers(0, 38, (h, w)).astype(np.uint8)),
+                ):
+                    d = os.path.join(root, split, sub)
+                    os.makedirs(d, exist_ok=True)
+                    cv2.imwrite(os.path.join(d, f"{sid}.png"), img)
+                ids.append(sid)
+                cams.append(cam)
+        with open(os.path.join(root, f"{split}.txt"), "w") as f:
+            f.write("\n".join(ids) + "\n")
+        with open(os.path.join(root, f"{split}_cameras.txt"), "w") as f:
+            f.write("\n".join(cams) + "\n")
+
+
+def test_eval_multicamera_fullres_per_class_iou(tmp_path):
+    """Multi-camera eval (per-camera mIoU breakdown), --valid_full_res
+    (native-resolution forward) and --per_class_iou (VERDICT r1 weak 8)."""
+    data_dir = tmp_path / "sunrgbd_prepared"
+    _make_prepared_sunrgbd(str(data_dir))
+
+    flags = [
+        "--dataset", "sunrgbd", "--dataset_dir", str(data_dir),
+        "--height", "32", "--width", "32",
+        "--encoder", "resnet18", "--encoder_block", "BasicBlock",
+        "--decoder_channels_mode", "constant", "--channels_decoder", "32",
+        "--nr_decoder_blocks", "1", "--context_module", "None",
+        "--upsampling", "bilinear", "--batch_size", "2",
+        "--class_weighting", "None",
+    ]
+    result = run_cli(
+        "train.py",
+        flags + ["--epochs", "1", "--eval-every", "1", "--debug",
+                 "--results_dir", str(tmp_path)],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    ckpts = glob.glob(str(tmp_path / "sunrgbd" / "*" / "ckpt_epoch_*.msgpack"))
+    assert ckpts
+
+    result = run_cli(
+        "eval.py",
+        flags + ["--hard", "--valid_full_res", "--per_class_iou",
+                 "--ckpt_path", ckpts[0]],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    # per-camera breakdown printed for the 2-camera dataset
+    assert "per-camera mIoU" in result.stdout
+    assert "kv1" in result.stdout and "kv2" in result.stdout
+    # per-class IoU table covers all 37 classes
+    assert "per-class IoU" in result.stdout
+    assert result.stdout.count("class_") == 37
