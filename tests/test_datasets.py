@@ -112,9 +112,30 @@ class TestSecondaryDatasets:
         from dynmm_tpu.data.other_datasets import CityscapesDataset
 
         self._write_prepared(str(tmp_path), "labels_19", 19)
-        ds = CityscapesDataset(str(tmp_path), split="test", depth_mode="refined")
-        assert ds.n_classes_without_void == 19
-        assert ds[0]["label"].max() <= 19
+        # cityscapes layout (prepare_cityscapes): 16-bit disparity pngs in
+        # disparity_raw/ ('raw' mode) + metric float16 .npy in depth_raw/
+        # ('refined' mode)
+        rng = np.random.default_rng(3)
+        for sub in ("disparity_raw", "depth_raw"):
+            os.makedirs(os.path.join(str(tmp_path), "test", sub), exist_ok=True)
+        for name in ("0000", "0001"):
+            cv2.imwrite(
+                os.path.join(str(tmp_path), "test", "disparity_raw",
+                             f"{name}.png"),
+                rng.integers(0, 30000, (16, 20), dtype=np.uint16),
+            )
+            np.save(
+                os.path.join(str(tmp_path), "test", "depth_raw",
+                             f"{name}.npy"),
+                rng.uniform(0, 80, (16, 20)).astype(np.float16),
+            )
+        for mode in ("refined", "raw"):
+            ds = CityscapesDataset(str(tmp_path), split="test",
+                                   depth_mode=mode)
+            assert ds.n_classes_without_void == 19
+            s = ds[0]
+            assert s["label"].max() <= 19
+            assert s["depth"].shape == (16, 20)
 
     def test_seg_pipeline_over_prepared_data(self, tmp_path):
         """Full path: prepared pngs → preprocessor → batched loader."""
