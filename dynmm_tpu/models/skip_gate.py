@@ -68,10 +68,37 @@ def flop_table(encoder_rgb: str, key: str = "depth_enc") -> np.ndarray:
     return FLOP_TABLES[name][key]
 
 
+class _GateConvParams(nn.Module):
+    """Param holder matching ``nn.Conv``'s tree layout ((5,5,2C,hidden)
+    kernel + bias, identical names/init/RNG folding) so checkpoints are
+    unchanged, while the forward computes the conv as a SPLIT sum
+    ``conv(rgb, K[:, :, :C]) + conv(depth, K[:, :, C:])`` — mathematically
+    identical to conv(concat(rgb, depth), K) but it never materializes the
+    concatenated map (314 MB/batch of HBM write+read at 480×640 bs=8)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 5
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, self.in_channels,
+             self.out_channels),
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.out_channels,)
+        )
+
+
 class GlobalGate(nn.Module):
     """Gate net (model_skip_mod_globalgate.py:375-394): concat(rgb64, depth64)
     at 1/4 res → 2 × (5×5/2 conv → BN → tanh) → global avg pool → 1×1 conv to
-    ``branch_num`` logits → DiffSoftmax."""
+    ``branch_num`` logits → DiffSoftmax.
+
+    TPU lowering: the first conv runs as a split sum over the two modality
+    maps (no concat materialization — see ``_GateConvParams``)."""
 
     branch_num: int = 5
     hidden_dim: int = 8
@@ -80,10 +107,24 @@ class GlobalGate(nn.Module):
     @nn.compact
     def __call__(self, rgb, depth, temp: float = 1.0, hard: bool = False,
                  train: bool = False):
-        x = jnp.concatenate([rgb, depth], axis=-1)
-        x = torch_conv(
-            self.hidden_dim, 5, stride=2, padding=0, dtype=self.dtype, name="conv1"
-        )(x)
+        c = rgb.shape[-1]
+        p1 = _GateConvParams(2 * c, self.hidden_dim, name="conv1")
+        kernel, bias = p1.kernel, p1.bias
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+
+        def conv5s2(inp, k):
+            dn = jax.lax.conv_dimension_numbers(
+                inp.shape, k.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            return jax.lax.conv_general_dilated(
+                inp, k, window_strides=(2, 2), padding=((0, 0), (0, 0)),
+                dimension_numbers=dn,
+            )
+
+        x = conv5s2(rgb, kernel[:, :, :c]) + conv5s2(depth, kernel[:, :, c:])
+        x = x + bias
         x = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
             dtype=self.dtype, name="bn1",
@@ -224,41 +265,49 @@ class SkipGateESANet(_DualEncoderParts):
             k_max = jnp.int32(force_path)
         else:
             k_max = jnp.max(jnp.argmax(weight, axis=-1)).astype(jnp.int32)
-        rgb1 = self.encoder_rgb.layer1(rgb, train)
 
-        def make_path(n_fused: int):
-            def path(operands):
-                r1, d, w = operands
-                skips = []
-                fused = None
-                for i in (1, 2, 3):
-                    r = r1 if i == 1 else getattr(
-                        self.encoder_rgb, f"layer{i}"
-                    )(fused, train)
-                    if i <= n_fused:
-                        d = getattr(self.encoder_depth, f"layer{i}")(d, train)
-                        branch_fuse = self.fuse(i, r, d)
-                        wi = w[:, :i].sum(axis=1)[:, None, None, None]
-                        fused = wi * r + (1.0 - wi) * branch_fuse
-                    else:
-                        fused = r
-                    skips.append(self.skip(i, fused, train))
-                r = self.encoder_rgb.layer4(fused, train)
-                if n_fused >= 4:
-                    d = self.encoder_depth.layer4(d, train)
-                    branch_fuse = self.fuse(4, r, d)
-                    w4 = w[:, 4][:, None, None, None]
-                    fused = (1.0 - w4) * r + w4 * branch_fuse
-                else:
-                    fused = r
-                return fused, skips[0], skips[1], skips[2]
+        # Per-stage sequential lax.cond: measured ≈ free next to a static
+        # path on v5e, whereas a 5-way lax.switch costs +4 ms/batch
+        # (tools/perf_switch2.py d6 vs d7). Skipped stages thread a zero
+        # depth buffer that no later true-branch ever reads (k_max monotone).
+        fused = rgb
+        skips = []
+        for i in (1, 2, 3):
+            r = self.encoder_rgb.layer1(fused, train) if i == 1 else getattr(
+                self.encoder_rgb, f"layer{i}"
+            )(fused, train)
 
-            return path
+            def fuse_i(ops, i=i):
+                r, d, w = ops
+                d = getattr(self.encoder_depth, f"layer{i}")(d, train)
+                branch_fuse = self.fuse(i, r, d)
+                wi = w[:, :i].sum(axis=1)[:, None, None, None]
+                return wi * r + (1.0 - wi) * branch_fuse, d
 
-        fused, s1, s2, s3 = jax.lax.switch(
-            k_max, [make_path(n) for n in range(5)], (rgb1, depth, weight)
+            def skip_i(ops, i=i):
+                r, d, w = ops
+                c = self.encoder_depth.down_channels[4 * (2 ** (i - 1))]
+                z = jnp.zeros((r.shape[0], r.shape[1], r.shape[2], c), r.dtype)
+                return r, z
+
+            fused, depth = jax.lax.cond(
+                k_max >= i, fuse_i, skip_i, (r, depth, weight)
+            )
+            skips.append(self.skip(i, fused, train))
+
+        r = self.encoder_rgb.layer4(fused, train)
+
+        def fuse_4(ops):
+            r, d, w = ops
+            d = self.encoder_depth.layer4(d, train)
+            branch_fuse = self.fuse(4, r, d)
+            w4 = w[:, 4][:, None, None, None]
+            return (1.0 - w4) * r + w4 * branch_fuse
+
+        fused = jax.lax.cond(
+            k_max >= 4, fuse_4, lambda ops: ops[0], (r, depth, weight)
         )
-        out = self.head(fused, [s1, s2, s3], train)
+        out = self.head(fused, skips, train)
         if return_weight:
             return out, weight
         return out
@@ -275,19 +324,19 @@ class SkipGateESANet(_DualEncoderParts):
         """Hard-gate batched inference with PER-SAMPLE depth skipping.
 
         ``forward_switch_batched`` skips at batch-max granularity — one
-        expensive sample forfeits the whole batch's savings. Here each depth
-        stage i runs only on the participating samples (``k ≥ i``, a
-        monotone-shrinking set): participants are gathered into a
-        power-of-2-capacity buffer chosen by ``lax.switch`` over
-        ``{0,1,2,...,bs}``, the stage + SE fusion run on that bucket, and the
-        results scatter back into original batch order. Per-sample mixing
-        uses the same cumulative hard one-hot weights as the dense forward,
-        so non-participants reduce to exactly ``rgb`` and results match dense
-        hard eval (``tests/test_routed_compact.py``).
-
-        Static shapes throughout: the capacity switch compiles
-        len(caps) subgraphs per stage; padding lanes compute on zeros and
-        their scatter is the identity (their mix weight is 1·rgb).
+        expensive sample forfeits the whole batch's savings. Here the batch
+        is permuted ONCE into descending-path order right after the gate, so
+        stage ``i``'s participants (``k ≥ i``, a monotone-shrinking set) are
+        always a PREFIX. Each depth stage then runs on a static prefix whose
+        capacity is picked from a power-of-2 ladder by a chain of 2-way
+        ``lax.cond``s (measured ≈ free on v5e, unlike multi-way
+        ``lax.switch`` — tools/perf_switch2.py), and the full batch is
+        reassembled by concatenation — no per-stage gathers or scatters; the
+        only data movement is the initial permute and the final logits
+        unpermute. Per-sample mixing uses the same cumulative hard one-hot
+        weights as the dense forward: padding rows inside a capacity prefix
+        carry mix weight 1·rgb, so any capacity ≥ n_i is exact and results
+        match dense hard eval (``tests/test_routed_compact.py``).
         """
         train = False
         rgb, depth = self._stems(rgb, depth, train)
@@ -296,6 +345,14 @@ class SkipGateESANet(_DualEncoderParts):
         k = jnp.argmax(weight, axis=-1).astype(jnp.int32)
         bs = rgb.shape[0]
 
+        order = jnp.argsort(-k)  # participants-first for every stage
+        inv = jnp.argsort(order)
+        rgb_s = jnp.take(rgb, order, axis=0)
+        depth_s = jnp.take(depth, order, axis=0)
+        w_s = jnp.take(weight, order, axis=0)
+        # n_i = #samples running depth stage i, i = 1..4
+        counts = jnp.sum(k[:, None] >= jnp.arange(1, 5)[None, :], axis=0)
+
         caps = [0]
         c = 1
         while c < bs:
@@ -303,65 +360,65 @@ class SkipGateESANet(_DualEncoderParts):
             c *= 2
         caps.append(bs)
         caps = sorted(set(caps))
-        caps_arr = jnp.asarray(caps, jnp.int32)
 
-        h4, w4 = self.cfg.height // 4, self.cfg.width // 4
-        ch = self.encoder_depth.down_channels
-        stage_shapes = {
-            1: (h4, w4, ch[4]),
-            2: (h4 // 2, w4 // 2, ch[8]),
-            3: (h4 // 4, w4 // 4, ch[16]),
-            4: (h4 // 8, w4 // 8, ch[32]),
-        }
+        def prefix_depth_fuse(i, depth_buf, rgb_i):
+            n = counts[i - 1]
 
-        def bucketed_depth_fuse(i, depth_buf, rgb_i):
-            m = k >= i
-            idx = jnp.argsort(jnp.logical_not(m))  # participants first
-            ci = jnp.searchsorted(caps_arr, m.sum().astype(jnp.int32))
-            out_shape = (bs,) + stage_shapes[i]
-
-            def make_branch(cap):
-                def br(_):
+            def with_cap(cap):
+                def br(ops):
+                    r, d = ops
                     if cap == 0:
-                        return rgb_i, jnp.zeros(out_shape, depth_buf.dtype)
-                    sel = idx[:cap]
-                    d_part = getattr(self.encoder_depth, f"layer{i}")(
-                        jnp.take(depth_buf, sel, axis=0), train
+                        z = jnp.zeros(
+                            (bs, r.shape[1], r.shape[2],
+                             self.encoder_depth.down_channels[
+                                 4 * (2 ** (i - 1))]),
+                            r.dtype,
+                        )
+                        return r, z
+                    d_p = getattr(self.encoder_depth, f"layer{i}")(
+                        d[:cap], train
                     )
-                    r_part = jnp.take(rgb_i, sel, axis=0)
-                    fuse_part = self.fuse(i, r_part, d_part)
+                    bf = self.fuse(i, r[:cap], d_p)
                     if i < 4:
-                        wc = jnp.take(weight[:, :i].sum(axis=1), sel)
-                        mixed = (
-                            wc[:, None, None, None] * r_part
-                            + (1.0 - wc)[:, None, None, None] * fuse_part
-                        )
+                        wi = w_s[:cap, :i].sum(axis=1)[:, None, None, None]
+                        mixed = wi * r[:cap] + (1.0 - wi) * bf
                     else:
-                        w4 = jnp.take(weight[:, 4], sel)
-                        mixed = (
-                            (1.0 - w4)[:, None, None, None] * r_part
-                            + w4[:, None, None, None] * fuse_part
-                        )
-                    fused = rgb_i.at[sel].set(mixed)
-                    d_next = jnp.zeros(out_shape, depth_buf.dtype).at[sel].set(
-                        d_part
+                        w4 = w_s[:cap, 4][:, None, None, None]
+                        mixed = (1.0 - w4) * r[:cap] + w4 * bf
+                    if cap == bs:
+                        return mixed, d_p
+                    pad = jnp.zeros((bs - cap,) + d_p.shape[1:], d_p.dtype)
+                    return (
+                        jnp.concatenate([mixed, r[cap:]], axis=0),
+                        jnp.concatenate([d_p, pad], axis=0),
                     )
-                    return fused, d_next
 
                 return br
 
-            return jax.lax.switch(ci, [make_branch(c) for c in caps], ())
+            def choose(ladder, ops):
+                cap = ladder[0]
+                if len(ladder) == 1:
+                    return with_cap(cap)(ops)
+                return jax.lax.cond(
+                    n <= cap,
+                    with_cap(cap),
+                    lambda o: choose(ladder[1:], o),
+                    ops,
+                )
+
+            return choose(caps, (rgb_i, depth_buf))
 
         skips = []
-        fused = rgb
-        depth_buf = depth
+        fused = rgb_s
+        depth_buf = depth_s
         for i in (1, 2, 3):
             rgb_i = getattr(self.encoder_rgb, f"layer{i}")(fused, train)
-            fused, depth_buf = bucketed_depth_fuse(i, depth_buf, rgb_i)
+            fused, depth_buf = prefix_depth_fuse(i, depth_buf, rgb_i)
             skips.append(self.skip(i, fused, train))
         rgb4 = self.encoder_rgb.layer4(fused, train)
-        fused, _ = bucketed_depth_fuse(4, depth_buf, rgb4)
+        fused, _ = prefix_depth_fuse(4, depth_buf, rgb4)
         out = self.head(fused, skips, train)
+        out = jnp.take(out, inv, axis=0)  # back to caller's sample order
         if return_weight:
             return out, weight
         return out
@@ -390,40 +447,41 @@ class SkipGateESANet(_DualEncoderParts):
         else:
             k = jnp.argmax(weight[0]).astype(jnp.int32)
 
-        # rgb stage 1 is identical across all 5 paths — hoist it out of the
-        # switch so the MXU has work to overlap with the scalar-core branch
-        # resolution (the gate→switch sync otherwise stalls the pipeline).
-        rgb1 = self.encoder_rgb.layer1(rgb, train)
+        # Per-stage 2-way lax.cond instead of one 5-way lax.switch: on v5e
+        # the multi-way switch costs +4 ms/step while chained conds measure
+        # ≈ a static path (tools/perf_switch2.py d6 vs d7). Depth stages
+        # beyond k never execute; hard path k fuses directly (no mixing),
+        # matching the reference's test-time forward.
+        fused = rgb
+        skips = []
+        for i in (1, 2, 3):
+            r = self.encoder_rgb.layer1(fused, train) if i == 1 else getattr(
+                self.encoder_rgb, f"layer{i}"
+            )(fused, train)
 
-        def make_path(n_fused: int):
-            def path(operands):
-                r1, d = operands
-                skips = []
-                fused = None
-                for i in (1, 2, 3):
-                    r = r1 if i == 1 else getattr(
-                        self.encoder_rgb, f"layer{i}"
-                    )(fused, train)
-                    if i <= n_fused:
-                        d = getattr(self.encoder_depth, f"layer{i}")(d, train)
-                        fused = self.fuse(i, r, d)
-                    else:
-                        fused = r
-                    skips.append(self.skip(i, fused, train))
-                r = self.encoder_rgb.layer4(fused, train)
-                if n_fused >= 4:
-                    d = self.encoder_depth.layer4(d, train)
-                    fused = self.fuse(4, r, d)
-                else:
-                    fused = r
-                return fused, skips[0], skips[1], skips[2]
+            def fuse_i(ops, i=i):
+                r, d = ops
+                d = getattr(self.encoder_depth, f"layer{i}")(d, train)
+                return self.fuse(i, r, d), d
 
-            return path
+            def skip_i(ops, i=i):
+                r, d = ops
+                c = self.encoder_depth.down_channels[4 * (2 ** (i - 1))]
+                z = jnp.zeros((r.shape[0], r.shape[1], r.shape[2], c), r.dtype)
+                return r, z
 
-        fused, s1, s2, s3 = jax.lax.switch(
-            k, [make_path(n) for n in range(5)], (rgb1, depth)
-        )
-        out = self.head(fused, [s1, s2, s3], train)
+            fused, depth = jax.lax.cond(k >= i, fuse_i, skip_i, (r, depth))
+            skips.append(self.skip(i, fused, train))
+
+        r = self.encoder_rgb.layer4(fused, train)
+
+        def fuse_4(ops):
+            r, d = ops
+            d = self.encoder_depth.layer4(d, train)
+            return self.fuse(4, r, d)
+
+        fused = jax.lax.cond(k >= 4, fuse_4, lambda ops: ops[0], (r, depth))
+        out = self.head(fused, skips, train)
         if return_weight:
             return out, weight
         return out
