@@ -320,6 +320,7 @@ class SkipGateESANet(_DualEncoderParts):
         temp: float = 1.0,
         baseline: bool = False,
         return_weight: bool = False,
+        caps: Optional[tuple] = None,
     ):
         """Hard-gate batched inference with PER-SAMPLE depth skipping.
 
@@ -329,14 +330,22 @@ class SkipGateESANet(_DualEncoderParts):
         stage ``i``'s participants (``k ≥ i``, a monotone-shrinking set) are
         always a PREFIX. Each depth stage then runs on a static prefix whose
         capacity is picked from a power-of-2 ladder by a chain of 2-way
-        ``lax.cond``s (measured ≈ free on v5e, unlike multi-way
-        ``lax.switch`` — tools/perf_switch2.py), and the full batch is
-        reassembled by concatenation — no per-stage gathers or scatters; the
-        only data movement is the initial permute and the final logits
-        unpermute. Per-sample mixing uses the same cumulative hard one-hot
-        weights as the dense forward: padding rows inside a capacity prefix
-        carry mix weight 1·rgb, so any capacity ≥ n_i is exact and results
-        match dense hard eval (``tests/test_routed_compact.py``).
+        ``lax.cond``s, and the full batch is reassembled by concatenation —
+        no per-stage gathers or scatters; the only data movement is the
+        initial permute and the final logits unpermute. Per-sample mixing
+        uses the same cumulative hard one-hot weights as the dense forward:
+        padding rows inside a capacity prefix carry mix weight 1·rgb, so any
+        capacity ≥ n_i is exact and results match dense hard eval
+        (``tests/test_routed_compact.py``).
+
+        ``caps``: capacity ladder (ascending, must end with the batch size).
+        Every ``lax.cond`` boundary costs ~1-2 ms at bs=8 480×640 on v5e
+        (operand traffic — measured, tools/perf_clean.py), so the DEFAULT
+        ladder is the coarsest ``(0, bs)`` — per-stage skip-or-run with
+        per-sample mixing. Finer ladders (e.g. ``(0, bs//2, bs)``) trade
+        dispatch overhead for partial-batch stage compute and only pay off
+        when the skippable work outweighs the boundary cost (large models /
+        small spatial maps).
         """
         train = False
         rgb, depth = self._stems(rgb, depth, train)
@@ -353,13 +362,8 @@ class SkipGateESANet(_DualEncoderParts):
         # n_i = #samples running depth stage i, i = 1..4
         counts = jnp.sum(k[:, None] >= jnp.arange(1, 5)[None, :], axis=0)
 
-        caps = [0]
-        c = 1
-        while c < bs:
-            caps.append(c)
-            c *= 2
-        caps.append(bs)
-        caps = sorted(set(caps))
+        caps = sorted(set(caps)) if caps is not None else [0, bs]
+        assert caps[-1] == bs and caps[0] >= 0
 
         def prefix_depth_fuse(i, depth_buf, rgb_i):
             n = counts[i - 1]

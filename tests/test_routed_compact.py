@@ -1,9 +1,10 @@
-"""Per-sample bucket-compacted routing must match dense hard eval.
+"""Per-sample compacted routing must match dense hard eval.
 
-``forward_routed_compact`` gathers each depth stage's participating samples
-(k ≥ i) into power-of-2 capacity buckets, runs the stage on the bucket only,
-and scatters back. For every path pattern the logits must match the dense
-hard forward (same mixing math; non-participants reduce to exactly rgb)."""
+``forward_routed_compact`` permutes the batch once into descending-path
+order, runs each depth stage on a static prefix whose capacity comes from a
+ladder of chained 2-way conds, and unpermutes the logits at the end. For
+every path pattern and every ladder the logits must match the dense hard
+forward (same mixing math; non-participants reduce to exactly rgb)."""
 
 import numpy as np
 import pytest
@@ -64,6 +65,21 @@ def test_compact_matches_dense(setup, paths, ):
 
     dense = model.apply(v, rgb, depth, train=False, hard=True)
     compact = model.apply(v, rgb, depth, method=model.forward_routed_compact)
+    np.testing.assert_allclose(
+        np.asarray(compact), np.asarray(dense), atol=1e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("caps", [(0, 2, 8), (0, 1, 2, 4, 8), (0, 4, 8)])
+def test_compact_fine_ladders_match_dense(setup, caps):
+    """Capacity ladders finer than the default (0, bs) stay exact: padding
+    rows inside a prefix mix to 1*rgb regardless of capacity choice."""
+    model, variables, rgb, depth = setup
+    v = {**variables,
+         "test_paths": {"paths": jnp.asarray([0, 4, 2, 1, 3, 0, 0, 2])}}
+    dense = model.apply(v, rgb, depth, train=False, hard=True)
+    compact = model.apply(v, rgb, depth, caps=caps,
+                          method=model.forward_routed_compact)
     np.testing.assert_allclose(
         np.asarray(compact), np.asarray(dense), atol=1e-5, rtol=1e-5
     )
