@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dynmm_tpu.core.gates import diff_softmax
+from dynmm_tpu.core.routing import compact_two_branch
 from dynmm_tpu.models.modality.mmdl import MMDL
 from dynmm_tpu.nn.fusions import Concat
 from dynmm_tpu.nn.mlp import MLP
@@ -103,6 +104,42 @@ class MoseiDynMMNetV2(nn.Module):
             weight = jnp.ones_like(weight) / self.branch_num
         out = weight[:, 0:1] * preds[0] + weight[:, 1:2] * preds[1]
         return out, weight[:, 1].mean(), weight
+
+    def forward_routed_compact(
+        self,
+        inputs: Sequence[jax.Array],
+        lengths: Optional[Sequence[jax.Array]] = None,
+        temp: float = 1.0,
+        caps=None,
+        force_k=None,
+    ):
+        """Batched hard-routed inference with per-sample bucket compaction:
+        the batch is sorted by gate decision so the expensive tri-modal
+        expert runs only on a static-capacity prefix and the text expert on
+        the complementary suffix (``dynmm_tpu.core.routing``). Per-sample
+        results equal dense hard eval; compute drops toward the per-branch
+        MAC ratio (320/135 ≈ 2.4× — MOSEI_FLOPS_M) as the gate routes more
+        samples to the text expert. ``force_k``: (B,) branch override
+        (benchmarks/tests — measures exact path mixtures). Returns
+        (pred (B,1), weight (B,2))."""
+        weight = self.gate_weights(inputs, lengths, temp=temp, hard=True)
+        k = (jnp.asarray(force_k, jnp.int32) if force_k is not None
+             else jnp.argmax(weight, axis=-1).astype(jnp.int32))
+        tree = (tuple(inputs), tuple(lengths) if lengths is not None else None)
+
+        def cheap(ops):
+            ins, lens = ops
+            tl = lens[2] if lens is not None else None
+            return self.text_head(self.text_encoder(ins[2], tl))
+
+        def expensive(ops):
+            ins, lens = ops
+            return self.branch2(ins, lens)
+
+        out = compact_two_branch(
+            k, tree, cheap, expensive, out_shape=(1,), caps=caps
+        )
+        return out, weight
 
     def forward_switch(self, inputs, lengths=None, temp: float = 1.0):
         """Hard-routed batch=1 inference via lax.switch — only the selected

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dynmm_tpu.core.gates import diff_softmax
+from dynmm_tpu.core.routing import compact_two_branch
 from dynmm_tpu.models.modality.mmdl import MMDL
 from dynmm_tpu.nn.fusions import Concat
 from dynmm_tpu.nn.mlp import MLP, LinearHead, MaxOut_MLP
@@ -105,6 +106,31 @@ class IMDBDynMMNet(nn.Module):
         if path == 2:
             return self.image_head(self.image_encoder(inputs[1], train=train), train=train)
         return self.branch3(inputs, train=train)
+
+    def forward_routed_compact(self, inputs, temp: float = 1.0, caps=None,
+                               force_k=None):
+        """Batched hard-routed inference with per-sample bucket compaction
+        (``dynmm_tpu.core.routing``): the late-fusion branch runs only on a
+        static-capacity prefix of the gate-sorted batch, the text expert on
+        the complementary suffix. Per-sample results equal dense hard eval;
+        compute approaches the 10.87/1.25 ≈ 8.7× branch MAC ratio
+        (IMDB_FLOPS_M) as the gate routes text-only. ``force_k``: (B,)
+        branch override (benchmarks/tests). Returns (logits, weight)."""
+        weight = self.gate_weights(inputs, temp=temp, hard=True)
+        k = (jnp.asarray(force_k, jnp.int32) if force_k is not None
+             else jnp.argmax(weight, axis=-1).astype(jnp.int32))
+
+        def cheap(ins):
+            return self.text_head(self.text_encoder(ins[0]))
+
+        def expensive(ins):
+            return self.branch3(ins)
+
+        out = compact_two_branch(
+            k, tuple(inputs), cheap, expensive,
+            out_shape=(self.num_classes,), caps=caps,
+        )
+        return out, weight
 
     def forward_switch(self, inputs, temp: float = 1.0):
         """Hard-routed batch=1 inference: only the selected branch executes

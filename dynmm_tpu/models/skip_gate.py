@@ -36,6 +36,7 @@ import numpy as np
 
 from dynmm_tpu.core.gates import diff_softmax
 from dynmm_tpu.core.resource import expected_cost_loss
+from dynmm_tpu.core.routing import permute_rows
 from dynmm_tpu.models.esanet import ESANetConfig, _DualEncoderParts
 from dynmm_tpu.nn.layers import BN_EPS, BN_MOMENTUM, max_pool_3x3_s2, torch_conv
 
@@ -66,6 +67,8 @@ FLOP_TABLES = {
 def flop_table(encoder_rgb: str, key: str = "depth_enc") -> np.ndarray:
     name = "resnet34" if encoder_rgb == "resnet34" else "resnet50"
     return FLOP_TABLES[name][key]
+
+
 
 
 class _GateConvParams(nn.Module):
@@ -356,9 +359,9 @@ class SkipGateESANet(_DualEncoderParts):
 
         order = jnp.argsort(-k)  # participants-first for every stage
         inv = jnp.argsort(order)
-        rgb_s = jnp.take(rgb, order, axis=0)
-        depth_s = jnp.take(depth, order, axis=0)
-        w_s = jnp.take(weight, order, axis=0)
+        rgb_s = permute_rows(rgb, order)
+        depth_s = permute_rows(depth, order)
+        w_s = jnp.take(weight, order, axis=0)  # (bs, 5) — gather is fine
         # n_i = #samples running depth stage i, i = 1..4
         counts = jnp.sum(k[:, None] >= jnp.arange(1, 5)[None, :], axis=0)
 
@@ -422,7 +425,7 @@ class SkipGateESANet(_DualEncoderParts):
         rgb4 = self.encoder_rgb.layer4(fused, train)
         fused, _ = prefix_depth_fuse(4, depth_buf, rgb4)
         out = self.head(fused, skips, train)
-        out = jnp.take(out, inv, axis=0)  # back to caller's sample order
+        out = permute_rows(out, inv)  # back to caller's sample order
         if return_weight:
             return out, weight
         return out
