@@ -27,22 +27,20 @@ import jax.numpy as jnp
 def permute_rows(x, perm, via_matmul: bool = True):
     """Permute axis 0 of ``x`` by index vector ``perm``.
 
-    ``jnp.take`` lowers to a generic gather, which on this TPU runtime is
-    catastrophically slow for multi-MB rows (the 196 MB logits unpermute in
-    the seg model's compact routing gathered at ~10 GB/s —
-    tools/perf_compact_bisect.py). A one-hot permutation matmul streams the
-    same bytes through the MXU at HBM bandwidth instead. Exact for a true
+    ``jnp.take`` lowers to a generic gather — measured 12.8 ms for one
+    permute of the (8, 480, 640, 40) logits map on this TPU runtime, and a
+    one-hot matmul over a *reshaped* (n, −1) view is even worse (27.7 ms —
+    the reshape forces a full relayout). A dot_general over the original
+    dims costs 0.03 ms (tools/perf_dispatch.py): contract perm's one-hot
+    with axis 0 and let XLA keep the tiled layout. Exact for a true
     permutation (each output row = 1·x[perm[i]] + Σ 0·x[j]); note 0·NaN in
     *other* rows would propagate, so inputs must be NaN-free.
     """
-    if not via_matmul:
+    if not via_matmul or x.ndim == 1 or x.dtype.kind != "f":
         return jnp.take(x, perm, axis=0)
     n = x.shape[0]
     p = jax.nn.one_hot(perm, n, dtype=x.dtype)  # (n, n), row i picks perm[i]
-    flat = x.reshape(n, -1)
-    return jax.lax.dot_general(
-        p, flat, (((1,), (0,)), ((), ()))
-    ).reshape(x.shape)
+    return jax.lax.dot_general(p, x, (((1,), (0,)), ((), ())))
 
 
 def _slice_tree(tree, lo: int, hi: int):

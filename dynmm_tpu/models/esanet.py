@@ -271,9 +271,12 @@ class ESANet(_DualEncoderParts):
         p = self
         rgb = p.encoder_rgb.stem(rgb, train)
         depth = p.encoder_depth.stem(depth, train)
-        fused = p.fuse(0, rgb, depth)
-        rgb = max_pool_3x3_s2(fused)
-        depth = max_pool_3x3_s2(depth)
+        if p.cfg.fuse_depth_in_rgb_encoder == "SE-add":
+            rgb, depth = p.se_layer0_mod.fuse_and_pool(rgb, depth)
+        else:
+            fused = p.fuse(0, rgb, depth)
+            rgb = max_pool_3x3_s2(fused)
+            depth = max_pool_3x3_s2(depth)
 
         skips = []
         for i in (1, 2, 3, 4):

@@ -162,6 +162,8 @@ class SkipGateESANet(_DualEncoderParts):
     def _stems(self, rgb, depth, train: bool):
         rgb = self.encoder_rgb.stem(rgb, train)
         depth = self.encoder_depth.stem(depth, train)
+        if self.cfg.fuse_depth_in_rgb_encoder == "SE-add":
+            return self.se_layer0_mod.fuse_and_pool(rgb, depth)
         fused = self.fuse(0, rgb, depth)
         return max_pool_3x3_s2(fused), max_pool_3x3_s2(depth)
 

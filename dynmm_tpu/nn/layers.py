@@ -228,14 +228,22 @@ class SqueezeAndExcitation(nn.Module):
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
 
-    @nn.compact
-    def __call__(self, x):
-        fc1 = _Conv1x1Params(self.channels, self.channels // self.reduction, name="fc1")
-        fc2 = _Conv1x1Params(self.channels // self.reduction, self.channels, name="fc2")
-        w1, b1 = fc1.kernel[0, 0], fc1.bias
-        w2, b2 = fc2.kernel[0, 0], fc2.bias
+    def setup(self):
+        self.fc1 = _Conv1x1Params(
+            self.channels, self.channels // self.reduction, name="fc1")
+        self.fc2 = _Conv1x1Params(
+            self.channels // self.reduction, self.channels, name="fc2")
+
+    def weights(self):
+        """(w1, b1, w2, b2) raw arrays for fused kernels (cast to dtype)."""
+        w1, b1 = self.fc1.kernel[0, 0], self.fc1.bias
+        w2, b2 = self.fc2.kernel[0, 0], self.fc2.bias
         if self.dtype is not None:
             w1, b1, w2, b2 = (a.astype(self.dtype) for a in (w1, b1, w2, b2))
+        return w1, b1, w2, b2
+
+    def __call__(self, x):
+        w1, b1, w2, b2 = self.weights()
 
         n, h, wd, c = x.shape
         if (
@@ -286,17 +294,39 @@ class SqueezeAndExciteFusionAdd(nn.Module):
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
 
-    @nn.compact
-    def __call__(self, rgb, depth):
-        rgb = SqueezeAndExcitation(
+    def setup(self):
+        self.se_rgb = SqueezeAndExcitation(
             self.channels, activation=self.activation, dtype=self.dtype,
             use_pallas=self.use_pallas, name="se_rgb",
-        )(rgb)
-        depth = SqueezeAndExcitation(
+        )
+        self.se_depth = SqueezeAndExcitation(
             self.channels, activation=self.activation, dtype=self.dtype,
             use_pallas=self.use_pallas, name="se_depth",
-        )(depth)
-        return rgb + depth
+        )
+
+    def __call__(self, rgb, depth):
+        return self.se_rgb(rgb) + self.se_depth(depth)
+
+    def fuse_and_pool(self, rgb, depth):
+        """Fused stem tail: SE-add + maxpool(3,2,1) of both the fused map
+        AND the raw second modality, in two HBM passes total
+        (``kernels.stem_fuse`` — the stem-resolution maps exceed VMEM, so
+        the single-pass SE kernel can't apply). Falls back to the unfused
+        graph off-TPU or for non-relu activations. Returns
+        (pool(se_fusion_add(rgb, depth)), pool(depth))."""
+        if (
+            self.activation is jax.nn.relu
+            and jax.default_backend() == "tpu"
+            and rgb.shape[1] % 4 == 0
+            and rgb.shape[2] % 2 == 0
+        ):
+            from dynmm_tpu.kernels.stem_fuse import stem_se_fusion_pool
+
+            return stem_se_fusion_pool(
+                rgb, depth, *self.se_rgb.weights(), *self.se_depth.weights()
+            )
+        fused = self(rgb, depth)
+        return max_pool_3x3_s2(fused), max_pool_3x3_s2(depth)
 
 
 class SqueezeAndExciteReweigh(nn.Module):
