@@ -36,9 +36,12 @@ def permute_rows(x, perm, via_matmul: bool = True):
     permutation (each output row = 1·x[perm[i]] + Σ 0·x[j]); note 0·NaN in
     *other* rows would propagate, so inputs must be NaN-free.
     """
-    if not via_matmul or x.ndim == 1 or x.dtype.kind != "f":
-        return jnp.take(x, perm, axis=0)
     n = x.shape[0]
+    # the one-hot contraction does n²·D MACs — a win at small batch (0.03 ms
+    # at seg's bs=8) but a 147 GFLOP matmul at bs=4096; gathers of small rows
+    # are fine, it's multi-MB rows that crater (12.8 ms for 24.5 MB rows)
+    if not via_matmul or x.ndim == 1 or x.dtype.kind != "f" or n > 256:
+        return jnp.take(x, perm, axis=0)
     p = jax.nn.one_hot(perm, n, dtype=x.dtype)  # (n, n), row i picks perm[i]
     return jax.lax.dot_general(p, x, (((1,), (0,)), ((), ())))
 

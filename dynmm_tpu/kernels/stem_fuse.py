@@ -13,15 +13,24 @@ single-pass ``kernels/se.py`` can't apply and XLA streams the maps from HBM
 tools/perf_decompose2.py). The reduction forces a two-pass structure; these
 kernels hit the two-pass traffic floor (~0.7 GB):
 
-  * ``_sums_kernel``   — one read of both maps → per-sample channel sums.
+  * ``_sums_kernel``      — one read of both maps → per-sample channel sums.
   * ``_fuse_pool_kernel`` — second read; scale+add+both maxpools in VMEM,
     writing only the two pooled outputs. Inputs stay in HBM; row bands are
     manually DMA'd with a 1-row halo (edge rows replicated — equivalent to
-    −inf padding under max). The tiny SE matmuls ((B,64)·(64,4)) run in XLA
-    between the two calls.
+    −inf padding under max).
 
-Exactness: tests/test_stem_fuse_kernel.py checks bit-level agreement with
-the unfused jnp oracle on CPU (interpret mode) and TPU.
+Mosaic constraints shape the layout (all hit while bringing this up):
+  * blocks' sublane dim must be 8-aligned or whole → the per-sample gate
+    vectors ride in (1, 8, C) broadcast blocks;
+  * strided sublane slices (``x[:, 0::2]``) lower to an unsupported gather →
+    the W dimension is FOLDED into lanes on the host (free bitcast
+    ``(B,H,W,C) → (B,H,W/4,4C)``; 4·64 = 2×128 full lane tiles, which also
+    removes the C=64 lane-padding waste), and the stride-2 pooling becomes
+    128-aligned half-slices + ``pltpu.roll`` half-swaps + an iota lane mask;
+  * stride-2 row selection uses outer-dim reshape views, not strided slices.
+
+Exactness: tests/test_stem_fuse_kernel.py (interpret mode) and
+tools/perf_stem.py (on-chip) check against the unfused jnp oracle.
 """
 
 from __future__ import annotations
@@ -34,11 +43,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# --------------------------------------------------------------- pass 1: sums
 def _sums_kernel(rgb_ref, depth_ref, sr_ref, sd_ref):
-    """Grid (B, nH); accumulates channel sums over the H tiles."""
+    """Grid (B, nH); accumulates folded-channel sums over the H tiles."""
     h = pl.program_id(1)
-    pr = jnp.sum(rgb_ref[0], axis=(0, 1), dtype=jnp.float32)[None, :]
-    pd = jnp.sum(depth_ref[0], axis=(0, 1), dtype=jnp.float32)[None, :]
+    pr = jnp.sum(rgb_ref[0], axis=(0, 1), dtype=jnp.float32)
+    pd = jnp.sum(depth_ref[0], axis=(0, 1), dtype=jnp.float32)
+    pr = jnp.broadcast_to(pr[None, :], sr_ref.shape[1:])[None]
+    pd = jnp.broadcast_to(pd[None, :], sd_ref.shape[1:])[None]
 
     @pl.when(h == 0)
     def _init():
@@ -55,45 +67,76 @@ def channel_sums(rgb, depth, tile_rows: int | None = None,
                  interpret: bool = False):
     """Per-sample channel sums of two (B, H, W, C) maps in one HBM pass."""
     b, h, w, c = rgb.shape
+    if w % 4 == 0:  # fold W into lanes: full 128-lane tiles for C=64
+        rgb = rgb.reshape(b, h, w // 4, 4 * c)
+        depth = depth.reshape(b, h, w // 4, 4 * c)
+        fold = 4
+    else:
+        fold = 1
+    wf, cf = rgb.shape[2], rgb.shape[3]
     if tile_rows is None:
         tile_rows = next(t for t in range(30, 0, -1) if h % t == 0)
     assert h % tile_rows == 0, (h, tile_rows)
     grid = (b, h // tile_rows)
-    blk = pl.BlockSpec((1, tile_rows, w, c), lambda i, j: (i, j, 0, 0),
+    blk = pl.BlockSpec((1, tile_rows, wf, cf), lambda i, j: (i, j, 0, 0),
                        memory_space=pltpu.VMEM)
-    out = pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out = pl.BlockSpec((1, 8, cf), lambda i, j: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    sr, sd = pl.pallas_call(
         _sums_kernel,
         grid=grid,
         in_specs=[blk, blk],
         out_specs=[out, out],
-        out_shape=[jax.ShapeDtypeStruct((b, c), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((b, 8, cf), jnp.float32)] * 2,
         interpret=interpret,
     )(rgb, depth)
+    sr, sd = sr[:, 0], sd[:, 0]
+    if fold == 4:
+        sr = sr.reshape(b, 4, c).sum(axis=1)
+        sd = sd.reshape(b, 4, c).sum(axis=1)
+    return sr, sd
 
 
-def _pool_rows_cols(x, out_rows: int, out_w: int):
-    """maxpool 3×3 stride 2 pad 1 of a (2·out_rows+2, W, C) band whose row 0
-    is the halo row (edge-replicated at boundaries). W edges use replicated
-    shifts — identical to −inf padding under max."""
-    r0 = x[0 : 2 * out_rows : 2]      # rows 2t      (halo offset: global 2r-1)
-    r1 = x[1 : 2 * out_rows + 1 : 2]  # rows 2t+1    (global 2r)
-    r2 = x[2 : 2 * out_rows + 2 : 2]  # rows 2t+2    (global 2r+1)
-    m = jnp.maximum(jnp.maximum(r0, r1), r2)  # (out_rows, W, C)
-    a = m[:, 0::2]                    # v[2j]
-    bq = m[:, 1::2]                   # v[2j+1]
-    left = jnp.concatenate([bq[:, :1], bq[:, :-1]], axis=1)  # v[2j-1]
-    return jnp.maximum(jnp.maximum(a, bq), left)[:, :out_w]
+# ------------------------------------------------------- pass 2: fuse + pool
+def _row_pool(x, t):
+    """max(x[2i], x[2i+1], x[2i+2]) for i<t, via outer-dim reshape views
+    (strided outer slices are not assumed; reshapes of leading dims are
+    free)."""
+    ra = jnp.max(x[0 : 2 * t].reshape((t, 2) + x.shape[1:]), axis=1)
+    rb = x[1 : 2 * t + 1].reshape((t, 2) + x.shape[1:])[:, 1]
+    return jnp.maximum(ra, rb)
+
+
+def _col_pool_folded(m, c):
+    """Stride-2 W maxpool (window 3, left pad) of a lane-folded (T, W/4, 4C)
+    band → (T, W/4, 2C). Lane groups are [v0|v1|v2|v3]·C with vk = column
+    4j+k; output groups [o0|o1] with o_p = out column 2j+p."""
+    two_c = 2 * c
+    h0 = m[..., :two_c]   # (S0|S1) — 128-aligned lane slice
+    h1 = m[..., two_c:]   # (S2|S3)
+    swap0 = pltpu.roll(h0, c, axis=m.ndim - 1)  # (S1|S0)
+    swap1 = pltpu.roll(h1, c, axis=m.ndim - 1)  # (S3|S2)
+    m01 = jnp.maximum(h0, swap0)  # max(v4j, v4j+1) in both halves
+    m23 = jnp.maximum(h1, swap1)  # max(v4j+2, v4j+3) in both halves
+    # previous odd column v[4j-1]: sublane-shift h1 down by one; the first
+    # window's pad slot takes v1 (∈ its window, so max is unchanged)
+    hp = jnp.concatenate([h0[:, :1], h1[:, :-1]], axis=1)
+    s3p = pltpu.roll(hp, c, axis=m.ndim - 1)     # lanes 0:C hold v[4j-1]
+    out_even = jnp.maximum(m01, s3p)             # valid in lanes 0:C
+    lane = jax.lax.broadcasted_iota(jnp.int32, m01.shape, m01.ndim - 1)
+    s1both = jnp.where(lane < c, swap0, h0)      # v[4j+1] in both halves
+    out_odd = jnp.maximum(s1both, m23)           # valid everywhere
+    return jnp.where(lane < c, out_even, out_odd)
 
 
 def _fuse_pool_kernel(sr_ref, sd_ref, rgb_hbm, depth_hbm, fused_ref,
                       dpool_ref, rgb_s, dep_s, sem_r, sem_d, *,
-                      out_rows: int, src_h: int):
+                      out_rows: int, channels: int):
     """Grid (B, nTiles). Tile i's band = source rows [2·T·i − 1, 2·T·i + 2T)
     (T = out_rows): out row t of the tile pools band rows 2t, 2t+1, 2t+2.
-    Only tile 0 lacks its top halo row (global row −1); under max, replicating
-    row 0 there is identical to the oracle's −inf padding. The bottom edge
-    never needs a halo (out row H/2−1 pools rows H−3..H−1)."""
+    Only tile 0 lacks its top halo row (global row −1); under max,
+    replicating row 0 there is identical to the oracle's −inf padding. The
+    bottom edge never needs a halo (out row H/2−1 pools rows H−3..H−1)."""
     i = pl.program_id(1)
     b = pl.program_id(0)
     band = 2 * out_rows + 1
@@ -120,19 +163,21 @@ def _fuse_pool_kernel(sr_ref, sd_ref, rgb_hbm, depth_hbm, fused_ref,
 
     rgb = rgb_s[:]
     dep = dep_s[:]
-    s_r = sr_ref[0][None, None, :]
-    s_d = sd_ref[0][None, None, :]
+    s_r = sr_ref[0, 0][None, None, :]
+    s_d = sd_ref[0, 0][None, None, :]
     fused = rgb * s_r + dep * s_d
-    w_out = fused_ref.shape[2]
-    fused_ref[0] = _pool_rows_cols(fused, out_rows, w_out)
-    dpool_ref[0] = _pool_rows_cols(dep, out_rows, w_out)
+    fm = _row_pool(fused, out_rows)
+    dm = _row_pool(dep, out_rows)
+    fused_ref[0] = _col_pool_folded(fm, channels)
+    dpool_ref[0] = _col_pool_folded(dm, channels)
 
 
-def _pick_out_rows(h: int, max_rows: int = 12) -> int:
-    """Largest divisor of h//2 that keeps the row band within VMEM budget."""
+def _pick_out_rows(h: int, max_rows: int = 24) -> int:
+    """Largest divisor of h//2 ≤ max_rows (folded bands are ~4 MB at 24)
+    whose DMA band (2t+1 rows) fits within the source height."""
     best = 1
     for t in range(2, max_rows + 1):
-        if (h // 2) % t == 0:
+        if (h // 2) % t == 0 and 2 * t + 1 <= h:
             best = t
     return best
 
@@ -143,22 +188,27 @@ def fused_stem_fusion(rgb, depth, s_r, s_d, out_rows: int | None = None,
     maxpool(3,2,1) both the fused map and the raw depth map in one HBM pass.
 
     s_r, s_d: (B, C) sigmoid gates (computed by the caller from
-    ``channel_sums`` — see ``stem_se_fusion_pool``)."""
+    ``channel_sums`` — see ``stem_se_fusion_pool``). Requires W % 4 == 0
+    (the lane-folded layout) and H % 4 == 0."""
     b, h, w, c = rgb.shape
+    assert w % 4 == 0 and h % 4 == 0, (h, w)
     if out_rows is None:
         out_rows = _pick_out_rows(h)
     assert h % (2 * out_rows) == 0, (h, out_rows)
     n_tiles = h // (2 * out_rows)
-    ho, wo = h // 2, w // 2
+    wf, cf = w // 4, 4 * c
+    rgb_f = rgb.reshape(b, h, wf, cf)
+    depth_f = depth.reshape(b, h, wf, cf)
     band = 2 * out_rows + 1
     kern = functools.partial(
-        _fuse_pool_kernel, out_rows=out_rows, src_h=h
+        _fuse_pool_kernel, out_rows=out_rows, channels=c
     )
-    gate_spec = pl.BlockSpec((1, c), lambda i, j: (i, 0),
+    gate_spec = pl.BlockSpec((1, 8, cf), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, out_rows, wo, c), lambda i, j: (i, j, 0, 0),
+    out_spec = pl.BlockSpec((1, out_rows, wf, 2 * c),
+                            lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    fused, dpool = pl.pallas_call(
         kern,
         grid=(b, n_tiles),
         in_specs=[
@@ -168,15 +218,24 @@ def fused_stem_fusion(rgb, depth, s_r, s_d, out_rows: int | None = None,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[out_spec, out_spec],
-        out_shape=[jax.ShapeDtypeStruct((b, ho, wo, c), rgb.dtype)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h // 2, wf, 2 * c), rgb.dtype)
+        ] * 2,
         scratch_shapes=[
-            pltpu.VMEM((band, w, c), rgb.dtype),
-            pltpu.VMEM((band, w, c), rgb.dtype),
+            pltpu.VMEM((band, wf, cf), rgb.dtype),
+            pltpu.VMEM((band, wf, cf), rgb.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(s_r, s_d, rgb, depth)
+    )(
+        jnp.broadcast_to(jnp.tile(s_r, (1, 4))[:, None, :], (b, 8, cf)),
+        jnp.broadcast_to(jnp.tile(s_d, (1, 4))[:, None, :], (b, 8, cf)),
+        rgb_f,
+        depth_f,
+    )
+    return (fused.reshape(b, h // 2, w // 2, c),
+            dpool.reshape(b, h // 2, w // 2, c))
 
 
 def se_gate_from_sums(sums, hw: int, w1, b1, w2, b2):

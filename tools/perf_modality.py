@@ -129,7 +129,10 @@ def main():
         @jax.jit
         def run(v, i0, i1, i2, l0):
             def body(carry, _):
-                out = apply_fn(v, (i0 + carry, i1, i2), (l0, l0, l0))
+                # perturb EVERY modality stream: text-only branches must
+                # still depend on the carry or XLA hoists the body
+                out = apply_fn(
+                    v, (i0 + carry, i1 + carry, i2 + carry), (l0, l0, l0))
                 return 1e-30 * jnp.mean(out), ()
             carry, _ = jax.lax.scan(body, jnp.float32(0.0), None,
                                     length=ITERS)
@@ -172,7 +175,7 @@ def main():
         @jax.jit
         def run(v, t, im):
             def body(carry, _):
-                out = apply_fn(v, (t + carry, im))
+                out = apply_fn(v, (t + carry, im + carry))
                 return 1e-30 * jnp.mean(out), ()
             carry, _ = jax.lax.scan(body, jnp.float32(0.0), None,
                                     length=ITERS)
