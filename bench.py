@@ -21,8 +21,11 @@ vs_baseline  = value / static-baseline (always-fuse dense, no gate — the
                identical hardware is the baseline.
 
 Also reported in the same JSON object: per-path forced throughputs (k=0..4,
-real skipping via the 5-way switch), batch-max routing throughput, and the
-trained gate's branch ratios.
+real skipping via the 5-way switch), batch-max routing throughput, the
+trained gate's branch ratios, and ``modality_routing`` — the MOSEI 2-branch
+router at serving batch (bs=1024), where routing DOES beat the static
+baseline on wall time (the seg model's skippable depth encoder costs <1.2 ms
+vs its ~1.1 ms gate — docs/DESIGN.md has the physics).
 
 Timing methodology: this environment reaches the TPU through a high-latency
 tunnel where per-call host timing is meaningless, so each measurement runs
@@ -159,6 +162,82 @@ def load_trained_gate(variables):
     return variables, np.asarray(payload["branch_ratios"])
 
 
+def bench_modality():
+    """Modality-level routing throughput (the stack where DynMM's savings
+    map onto TPU wall time — the seg model's skippable depth encoder costs
+    <1.2 ms while its gate costs ~1.1, see docs/DESIGN.md): MOSEI 2-branch
+    router at serving batch, bucket-compacted, at forced easy/hard mixtures
+    f = fraction on the expensive tri-modal branch. Returns a JSON-ready
+    dict (ms per batch + ratios vs the static big-branch baseline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dynmm_tpu.models.modality import IMDBDynMMNet, MoseiDynMMNetV2
+
+    rng = np.random.default_rng(7)
+    out = {}
+
+    def measure_set(cands, args, iters=30):
+        @jax.jit
+        def nop(*a):
+            return jnp.sum(a[0][(0,) * a[0].ndim])
+
+        res = {}
+        for name, f in cands.items():
+            @jax.jit
+            def run(*a, f=f):
+                def body(c, _):
+                    o = f(*((a[0] + c,) + a[1:]))
+                    return 1e-30 * jnp.sum(o[(0,) * o.ndim]), ()
+                c, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                    length=iters)
+                return c
+            float(run(*args))  # compile
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter(); float(run(*args))
+                tot = time.perf_counter() - t0
+                t0 = time.perf_counter(); float(nop(*args))
+                ov = time.perf_counter() - t0
+                best = min(best, max(tot - ov, 1e-9) / iters)
+            res[name] = best
+        return res
+
+    # ---- MOSEI (bs=1024, T=50) ----
+    bs, t = 1024, 50
+    vis = jnp.asarray(rng.standard_normal((bs, t, 35)).astype(np.float32))
+    aud = jnp.asarray(rng.standard_normal((bs, t, 74)).astype(np.float32))
+    txt = jnp.asarray(rng.standard_normal((bs, t, 300)).astype(np.float32))
+    lens = jnp.asarray(np.full((bs,), t, np.int32))
+    model = MoseiDynMMNetV2()
+    mv = model.init(jax.random.PRNGKey(0), [vis, aud, txt], [lens] * 3)
+
+    def forced(frac):
+        fk = jnp.asarray(
+            (np.arange(bs) < int(round(frac * bs))).astype(np.int32))
+        return lambda v0, a, tx, ln, v: model.apply(
+            v, [v0, a, tx], [ln] * 3, force_k=fk,
+            method=model.forward_routed_compact)[0]
+
+    cands = {
+        "baseline_big": lambda v0, a, tx, ln, v: model.apply(
+            v, [v0, a, tx], [ln] * 3, infer_mode=2)[0],
+        "f0": forced(0.0), "f25": forced(0.25), "f50": forced(0.5),
+    }
+    res = measure_set(cands, (vis, aud, txt, lens, mv))
+    big = res["baseline_big"]
+    out["mosei_bs1024"] = {
+        "baseline_big_ms": round(big * 1e3, 3),
+        "routed_ms": {k: round(res[k] * 1e3, 3) for k in ("f0", "f25", "f50")},
+        "vs_big": {k: round(big / res[k], 2) for k in ("f0", "f25", "f50")},
+    }
+    log(f"mosei bs=1024: big {big*1e3:.2f} ms; routed f0/f25/f50 "
+        + "/".join(f"{res[k]*1e3:.2f}" for k in ("f0", "f25", "f50"))
+        + " ms (vs_big "
+        + "/".join(f"{big/res[k]:.2f}" for k in ("f0", "f25", "f50")) + ")")
+    return out
+
+
 def main():
     setup_compilation_cache()
     import jax
@@ -197,7 +276,8 @@ def main():
 
     # Headline: per-sample bucket-compacted routing over the batch stream.
     f_routed = make_stream_bench(
-        lambda v, r, d: model.apply(v, r, d, method=model.forward_routed_compact),
+        lambda v, r, d: model.apply(v, r, d, caps=(0, BS // 2, BS),
+                                    method=model.forward_routed_compact),
         N_BATCHES,
     )
     td = measure(f_routed, nop_stream, variables, rgbs, depths,
@@ -250,6 +330,13 @@ def main():
     ratios = (counts / counts.sum()).round(4)
     log(f"live branch ratios on eval stream: {ratios}")
 
+    # Modality-level routing (where DynMM's savings land on TPU wall time).
+    try:
+        modality = bench_modality()
+    except Exception as e:  # must never kill the headline bench
+        log(f"modality bench failed: {e}")
+        modality = {"error": str(e)[:200]}
+
     try:
         if os.environ.get("BENCH_FULL", "0") in ("", "0", "false"):
             raise _SkipDiagnostics
@@ -289,6 +376,7 @@ def main():
                 "per_path_fps": per_path,
                 "branch_ratios": ratios.tolist(),
                 "gate": gate_kind,
+                "modality_routing": modality,
             }
         )
     )

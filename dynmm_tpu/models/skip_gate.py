@@ -344,13 +344,13 @@ class SkipGateESANet(_DualEncoderParts):
         (``tests/test_routed_compact.py``).
 
         ``caps``: capacity ladder (ascending, must end with the batch size).
-        Every ``lax.cond`` boundary costs ~1-2 ms at bs=8 480×640 on v5e
-        (operand traffic — measured, tools/perf_clean.py), so the DEFAULT
-        ladder is the coarsest ``(0, bs)`` — per-stage skip-or-run with
-        per-sample mixing. Finer ladders (e.g. ``(0, bs//2, bs)``) trade
-        dispatch overhead for partial-batch stage compute and only pay off
-        when the skippable work outweighs the boundary cost (large models /
-        small spatial maps).
+        A ``lax.cond`` boundary costs ~0.15 ms at bs=8 480×640 on v5e
+        (tools/perf_dispatch.py — the earlier 1-2 ms readings were the
+        jnp.take permutes, since replaced by dot_general permutes), so the
+        default ladder ``(0, bs//2, bs)`` adds a half-batch rung: mixed
+        batches then run depth stages at half capacity once the sorted
+        participant prefix fits (measured win over ``(0, bs)`` on the
+        half-easy eval stream, tools/perf_inmodel.py). Any ladder is exact.
         """
         train = False
         rgb, depth = self._stems(rgb, depth, train)
@@ -367,7 +367,7 @@ class SkipGateESANet(_DualEncoderParts):
         # n_i = #samples running depth stage i, i = 1..4
         counts = jnp.sum(k[:, None] >= jnp.arange(1, 5)[None, :], axis=0)
 
-        caps = sorted(set(caps)) if caps is not None else [0, bs]
+        caps = sorted(set(caps)) if caps is not None else [0, bs // 2, bs]
         assert caps[-1] == bs and caps[0] >= 0
 
         def prefix_depth_fuse(i, depth_buf, rgb_i):
