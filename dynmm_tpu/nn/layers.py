@@ -313,12 +313,18 @@ class SqueezeAndExciteFusionAdd(nn.Module):
         (``kernels.stem_fuse`` — the stem-resolution maps exceed VMEM, so
         the single-pass SE kernel can't apply). Falls back to the unfused
         graph off-TPU or for non-relu activations. Returns
-        (pool(se_fusion_add(rgb, depth)), pool(depth))."""
+        (pool(se_fusion_add(rgb, depth)), pool(depth)).
+
+        Opt-in (``use_pallas``): bit-exact on-chip, but as of the last
+        measurement it still trails XLA's unfused graph (2.40 vs 1.66 ms at
+        bs=8 — tools/perf_stem_parts.py decomposes where the VPU time
+        goes), so the default path keeps the XLA graph."""
         if (
-            self.activation is jax.nn.relu
+            self.use_pallas
+            and self.activation is jax.nn.relu
             and jax.default_backend() == "tpu"
             and rgb.shape[1] % 4 == 0
-            and rgb.shape[2] % 2 == 0
+            and rgb.shape[2] % 4 == 0
         ):
             from dynmm_tpu.kernels.stem_fuse import stem_se_fusion_pool
 
