@@ -10,10 +10,11 @@ value        = bs=8 hard-gate eval throughput with PER-SAMPLE bucket-compacted
                committed at bench_assets/gate_trained.msgpack
                (tools/train_bench_gate.py: gate-only self-distillation against
                the always-fuse teacher + the reference's resource loss), timed
-               over a 16-batch synthetic eval stream whose depth
-               informativeness varies per sample — so the gate routes
-               input-dependently and the number reflects real mixed-path
-               skipping, not a degenerate all-one-path batch.
+               on a mixed eval batch — half the samples carry informative
+               depth, half near-zero depth — so the gate routes
+               input-dependently within every batch and the number reflects
+               real mixed-bucket skipping, not a degenerate all-one-path
+               batch.
 vs_baseline  = value / static-baseline (always-fuse dense, no gate — the
                reference's ESANet compute) throughput measured identically on
                the same chip in the same process. The reference publishes no
@@ -187,7 +188,14 @@ def bench_modality():
             @jax.jit
             def run(*a, f=f):
                 def body(c, _):
-                    o = f(*((a[0] + c,) + a[1:]))
+                    # perturb EVERY float stream: branches that ignore one
+                    # modality must still depend on the carry, or XLA
+                    # hoists the whole body out of the scan
+                    pert = tuple(
+                        x + c if getattr(x, "dtype", None) is not None
+                        and x.dtype.kind == "f" else x
+                        for x in a)
+                    o = f(*pert)
                     return 1e-30 * jnp.sum(o[(0,) * o.ndim]), ()
                 c, _ = jax.lax.scan(body, jnp.float32(0.0), None,
                                     length=iters)
@@ -238,6 +246,57 @@ def bench_modality():
     return out
 
 
+def bench_r50():
+    """SkipGateESANet-R50 routing economics at bs=8 (the reference's R50
+    config — its per-path GFLOP table is model_skip_mod_globalgate.py:223).
+    Returns forced-path ms + ratios vs the dense baseline."""
+    import jax
+    import jax.numpy as jnp
+
+    from dynmm_tpu.models.esanet import ESANetConfig
+    from dynmm_tpu.models.skip_gate import SkipGateESANet
+
+    cfg = ESANetConfig(
+        height=480, width=640, num_classes=40,
+        encoder_rgb="resnet50", encoder_depth="resnet50",
+        encoder_block="Bottleneck",
+        channels_decoder=(512, 256, 128), nr_decoder_blocks=(3, 3, 3),
+        fuse_depth_in_rgb_encoder="SE-add",
+        upsampling="learned-3x3-zeropad",
+    )
+    model = SkipGateESANet(cfg)
+    rng = np.random.default_rng(0)
+    rgb0, depth0 = make_eval_batch(rng, BS, 480, 640)
+    rgb, depth = jnp.asarray(rgb0), jnp.asarray(depth0)
+    variables = model.init(jax.random.PRNGKey(0), rgb, depth, train=False)
+
+    @jax.jit
+    def nop(v, r, d):
+        return jnp.sum(r[0, 0, 0])
+
+    cands = {
+        "dense_base": lambda v, r, d: model.apply(
+            v, r, d, train=False, baseline=True),
+        "force_k0": lambda v, r, d: model.apply(
+            v, r, d, force_path=0, method=model.forward_switch_batched),
+        "force_k2": lambda v, r, d: model.apply(
+            v, r, d, force_path=2, method=model.forward_switch_batched),
+        "force_k4": lambda v, r, d: model.apply(
+            v, r, d, force_path=4, method=model.forward_switch_batched),
+    }
+    res = {}
+    for name, f in cands.items():
+        t = measure(make_scan_bench(f), nop, variables, rgb, depth, reps=2)
+        res[name] = t
+        log(f"r50 {name}: {t*1e3:.2f} ms/batch ({BS/t:.1f} fps)")
+    base = res["dense_base"]
+    return {
+        "dense_base_ms": round(base * 1e3, 2),
+        "forced_ms": {k: round(res[k] * 1e3, 2) for k in res if k != "dense_base"},
+        "vs_base": {k: round(base / res[k], 3) for k in res if k != "dense_base"},
+    }
+
+
 def main():
     setup_compilation_cache()
     import jax
@@ -260,45 +319,36 @@ def main():
         + (f" (ratios {np.array2string(trained_ratios, precision=3)})"
            if trained_ratios is not None else ""))
 
-    # eval stream: 16 distinct batches, same distribution as gate training
-    eval_rng = np.random.default_rng(1234)
-    batches = [make_eval_batch(eval_rng, BS, h, w) for _ in range(N_BATCHES)]
-    rgbs = jnp.asarray(np.stack([b[0] for b in batches]))
-    depths = jnp.asarray(np.stack([b[1] for b in batches]))
-
     @jax.jit
     def nop(variables, rgb, depth):
         return jnp.sum(rgb[0, 0, 0])
 
-    @jax.jit
-    def nop_stream(variables, rgbs, depths):
-        return jnp.sum(rgbs[0, 0, 0, 0])
-
-    # Headline: per-sample bucket-compacted routing over the batch stream.
-    f_routed = make_stream_bench(
+    # Headline: per-sample bucket-compacted routing on the mixed eval batch
+    # (half informative-depth, half near-zero depth — the trained gate
+    # routes them to different paths, so every iteration exercises mixed
+    # buckets). A 16-distinct-batch stream harness was tried and abandoned:
+    # it adds ~3 ms of input-slicing overhead to EVERY candidate and ~6 ms
+    # to the compact graph, drowning the comparison (r02 logs).
+    f_routed = make_scan_bench(
         lambda v, r, d: model.apply(v, r, d, caps=(0, BS // 2, BS),
                                     method=model.forward_routed_compact),
-        N_BATCHES,
     )
-    td = measure(f_routed, nop_stream, variables, rgbs, depths,
-                 iters=N_BATCHES)
+    td = measure(f_routed, nop, variables, rgb, depth)
     log(f"bs={BS} routed compact (per-sample buckets): "
         f"{td*1e3:.2f} ms/batch ({BS/td:.1f} fps)")
 
     # Baseline: static ESANet compute (always-fuse dense, no gate).
-    f_base = make_stream_bench(
+    f_base = make_scan_bench(
         lambda v, r, d: model.apply(v, r, d, train=False, baseline=True),
-        N_BATCHES,
     )
-    tb = measure(f_base, nop_stream, variables, rgbs, depths, iters=N_BATCHES)
+    tb = measure(f_base, nop, variables, rgb, depth)
     log(f"bs={BS} dense baseline:  {tb*1e3:.2f} ms/batch ({BS/tb:.1f} fps)")
 
-    # Batch-max routing (the coarser strategy) on the same stream.
-    f_bmax = make_stream_bench(
+    # Batch-max routing (the coarser strategy) on the same batch.
+    f_bmax = make_scan_bench(
         lambda v, r, d: model.apply(v, r, d, method=model.forward_switch_batched),
-        N_BATCHES,
     )
-    tm = measure(f_bmax, nop_stream, variables, rgbs, depths, iters=N_BATCHES)
+    tm = measure(f_bmax, nop, variables, rgb, depth)
     log(f"bs={BS} routed batch-max: {tm*1e3:.2f} ms/batch ({BS/tm:.1f} fps)")
 
     # Per-path forced throughput (real skipping, whole batch on path k).
@@ -324,8 +374,10 @@ def main():
         return jnp.argmax(wgt, axis=-1)
 
     counts = np.zeros(5, np.int64)
-    for i in range(N_BATCHES):
-        p = np.asarray(paths_of(variables, rgbs[i], depths[i]))
+    eval_rng = np.random.default_rng(1234)
+    for _ in range(N_BATCHES):
+        rb, db = make_eval_batch(eval_rng, BS, h, w)
+        p = np.asarray(paths_of(variables, jnp.asarray(rb), jnp.asarray(db)))
         counts += np.bincount(p, minlength=5)
     ratios = (counts / counts.sum()).round(4)
     log(f"live branch ratios on eval stream: {ratios}")
@@ -336,6 +388,18 @@ def main():
     except Exception as e:  # must never kill the headline bench
         log(f"modality bench failed: {e}")
         modality = {"error": str(e)[:200]}
+
+    # R50 flagship variant (BENCH_R50=1): the reference's own ResNet50
+    # config, where the MXU-dense depth encoder makes fusion-level routing
+    # win on-chip (1.30x at k=0 — tools/perf_r50.py). Off by default: the
+    # cold compile is ~16 min.
+    r50 = None
+    if os.environ.get("BENCH_R50", "0") not in ("", "0", "false"):
+        try:
+            r50 = bench_r50()
+        except Exception as e:
+            log(f"r50 bench failed: {e}")
+            r50 = {"error": str(e)[:200]}
 
     try:
         if os.environ.get("BENCH_FULL", "0") in ("", "0", "false"):
@@ -377,6 +441,7 @@ def main():
                 "branch_ratios": ratios.tolist(),
                 "gate": gate_kind,
                 "modality_routing": modality,
+                **({"r50_routing": r50} if r50 is not None else {}),
             }
         )
     )

@@ -163,9 +163,17 @@ class SkipGateESANet(_DualEncoderParts):
         rgb = self.encoder_rgb.stem(rgb, train)
         depth = self.encoder_depth.stem(depth, train)
         if self.cfg.fuse_depth_in_rgb_encoder == "SE-add":
-            return self.se_layer0_mod.fuse_and_pool(rgb, depth)
-        fused = self.fuse(0, rgb, depth)
-        return max_pool_3x3_s2(fused), max_pool_3x3_s2(depth)
+            out = self.se_layer0_mod.fuse_and_pool(rgb, depth)
+        else:
+            fused = self.fuse(0, rgb, depth)
+            out = max_pool_3x3_s2(fused), max_pool_3x3_s2(depth)
+        # The pooled maps have TWO consumers (gate + encoders); without a
+        # barrier XLA fusion re-materializes the whole 157 MB stem tail for
+        # the gate, which is why the ~free gate head measured +1.1 ms
+        # in-model (tools/hlo_gate_diff.py found the duplicated
+        # add/maximum/reduce-window chain). The barrier is an identity that
+        # pins the pooled maps as materialized once.
+        return jax.lax.optimization_barrier(out)
 
     def gate_weights(
         self,

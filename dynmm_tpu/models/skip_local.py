@@ -64,6 +64,10 @@ class SkipESANet(_DualEncoderParts):
 
         rgb = self.encoder_rgb.stem(rgb, train)
         depth = self.encoder_depth.stem(depth, train)
+        # two consumers (gate + pools): barrier stops XLA fusion from
+        # re-materializing the stem tails per consumer (see
+        # SkipGateESANet._stems / tools/hlo_gate_diff.py)
+        rgb, depth = jax.lax.optimization_barrier((rgb, depth))
         fused = rgb + depth
         # gate 0 sees stem features; SE temp comes in via logits scaling
         weight = self.gate_layer0(

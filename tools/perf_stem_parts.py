@@ -108,7 +108,7 @@ def main():
         ("k_copyonly", body_copyonly, 2 * c),
     ]:
         f = build_variant(bodyf, oc)
-        runs[name] = scan_bench(f)
+        runs[name] = scan_bench(lambda *a, f=f: f(*a)[0])
         argsets[name] = args6
 
     runs["sums_only"] = scan_bench(
