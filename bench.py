@@ -130,6 +130,30 @@ def measure(run, nop, *args, reps: int = 3, iters: int | None = None) -> float:
     return best
 
 
+def measure_interleaved(runs: dict, nop, *args, rounds: int = 5,
+                        iters: int | None = None) -> dict:
+    """{name: median_sec_per_iter} with reps round-robined across all
+    candidates — chip/tunnel contention drifts on second scales, so
+    back-to-back sequential reps bias ratios (observed: dense caught a
+    quiet window and the routed/dense ratio swung 0.70→0.85)."""
+    iters = iters if iters is not None else SCAN_ITERS
+    for run in runs.values():
+        float(run(*args))  # compile + warm
+    float(nop(*args))
+    raw = {k: [] for k in runs}
+    names = list(runs)
+    for rnd in range(rounds):
+        for k in names[rnd % len(names):] + names[:rnd % len(names)]:
+            t0 = time.perf_counter()
+            float(runs[k](*args))
+            total = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(nop(*args))
+            overhead = time.perf_counter() - t0
+            raw[k].append(max(total - overhead, 1e-9) / iters)
+    return {k: float(np.median(v)) for k, v in raw.items()}
+
+
 def make_eval_batch(rng, bs, h, w):
     """Synthetic eval stream matching tools/train_bench_gate.py: half the
     samples get rgb-correlated (informative) depth, half near-zero depth."""
@@ -326,29 +350,30 @@ def main():
     # Headline: per-sample bucket-compacted routing on the mixed eval batch
     # (half informative-depth, half near-zero depth — the trained gate
     # routes them to different paths, so every iteration exercises mixed
-    # buckets). A 16-distinct-batch stream harness was tried and abandoned:
-    # it adds ~3 ms of input-slicing overhead to EVERY candidate and ~6 ms
-    # to the compact graph, drowning the comparison (r02 logs).
-    f_routed = make_scan_bench(
-        lambda v, r, d: model.apply(v, r, d, caps=(0, BS // 2, BS),
-                                    method=model.forward_routed_compact),
+    # buckets). Ladder (bs/2, bs): the 0-rung never fires on mixed batches
+    # and its 4 extra conds cost ~0.6 ms. A 16-distinct-batch stream
+    # harness was tried and abandoned: it added ~3 ms of input-slicing
+    # overhead to every candidate (r02 logs). The three strategies are
+    # measured INTERLEAVED so contention drift cancels in the ratios.
+    meds = measure_interleaved(
+        {
+            "routed": make_scan_bench(
+                lambda v, r, d: model.apply(
+                    v, r, d, caps=(BS // 2, BS),
+                    method=model.forward_routed_compact)),
+            "baseline": make_scan_bench(
+                lambda v, r, d: model.apply(
+                    v, r, d, train=False, baseline=True)),
+            "batchmax": make_scan_bench(
+                lambda v, r, d: model.apply(
+                    v, r, d, method=model.forward_switch_batched)),
+        },
+        nop, variables, rgb, depth,
     )
-    td = measure(f_routed, nop, variables, rgb, depth)
+    td, tb, tm = meds["routed"], meds["baseline"], meds["batchmax"]
     log(f"bs={BS} routed compact (per-sample buckets): "
         f"{td*1e3:.2f} ms/batch ({BS/td:.1f} fps)")
-
-    # Baseline: static ESANet compute (always-fuse dense, no gate).
-    f_base = make_scan_bench(
-        lambda v, r, d: model.apply(v, r, d, train=False, baseline=True),
-    )
-    tb = measure(f_base, nop, variables, rgb, depth)
     log(f"bs={BS} dense baseline:  {tb*1e3:.2f} ms/batch ({BS/tb:.1f} fps)")
-
-    # Batch-max routing (the coarser strategy) on the same batch.
-    f_bmax = make_scan_bench(
-        lambda v, r, d: model.apply(v, r, d, method=model.forward_switch_batched),
-    )
-    tm = measure(f_bmax, nop, variables, rgb, depth)
     log(f"bs={BS} routed batch-max: {tm*1e3:.2f} ms/batch ({BS/tm:.1f} fps)")
 
     # Per-path forced throughput (real skipping, whole batch on path k).

@@ -228,10 +228,19 @@ def stem_se_fusion_pool(rgb, depth, wr1, br1, wr2, br2, wd1, bd1, wd2, bd2,
                         interpret: bool = False):
     """The full fused stem cell: SE-recalibrated add + both maxpools.
 
-    Two HBM passes total (reduction forces ≥2): ``channel_sums`` then
-    ``fused_stem_fusion``. Returns (pooled_fused, pooled_depth)."""
+    Two HBM passes total (the reduction forces ≥2). Pass 1 — the channel
+    means — runs as a plain XLA reduce: measured 0.45 ms at flagship shapes
+    vs 1.39 for the Pallas ``channel_sums`` version (the revisited-output
+    accumulation defeats Mosaic's input pipelining —
+    tools/perf_stem_parts.py). Pass 2 is the Pallas scale+add+dual-maxpool,
+    which runs at the copy floor (0.89 ms ≈ 0.84 copy-only). Returns
+    (pooled_fused, pooled_depth)."""
     b, h, w, c = rgb.shape
-    sums_r, sums_d = channel_sums(rgb, depth, interpret=interpret)
+    # two consumers (reduce + pallas call): pin the maps as materialized so
+    # XLA fusion can't re-materialize the producer chain per consumer
+    rgb, depth = jax.lax.optimization_barrier((rgb, depth))
+    sums_r = jnp.sum(rgb, axis=(1, 2), dtype=jnp.float32)
+    sums_d = jnp.sum(depth, axis=(1, 2), dtype=jnp.float32)
     s_r = se_gate_from_sums(sums_r, h * w, wr1, br1, wr2, br2).astype(rgb.dtype)
     s_d = se_gate_from_sums(sums_d, h * w, wd1, bd1, wd2, bd2).astype(rgb.dtype)
     return fused_stem_fusion(rgb, depth, s_r, s_d, interpret=interpret)

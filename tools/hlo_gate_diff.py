@@ -1,7 +1,9 @@
 #!/usr/bin/env python
-"""Dump optimized HLO for stems vs stems+gate and diff the expensive ops —
-the gate costs ~0 standalone but +1.3 ms in-model (tools/perf_gate2.py);
-whatever XLA adds between these two programs is the cost."""
+"""Diff the optimized HLO of dense_base (no gate) vs dense_hard (gate +
+per-sample one-hot mixing) as name-insensitive (opcode, dtype, shape)
+multisets — earlier line-string diffs were fooled by SSA renumbering.
+Finds what XLA actually adds for the gate+mix path (measured +1.1-1.8 ms,
+tools/perf_inmodel.py, while the gate is ~0 standalone)."""
 
 import os
 import re
@@ -12,24 +14,32 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+OP_RE = re.compile(
+    r"= ([a-z0-9]+)\[([\d,]*)\](?:\{[^}]*\})?\s+([a-z-]+)\(")
 
-def op_histogram(hlo_text):
-    """{opcode: [total_bytes_of_outputs]} for heavyweight ops."""
-    hist = Counter()
-    bytes_per = Counter()
-    for m in re.finditer(
-            r"= ([a-z0-9]+)\[([\d,]*)\][^)]*?\s+(fusion|copy|transpose|"
-            r"convolution|custom-call|reduce-window|reduce|dot|bitcast)\(",
-            hlo_text):
+
+def op_multiset(hlo_text):
+    ops = Counter()
+    for m in OP_RE.finditer(hlo_text):
         dtype, dims, opcode = m.groups()
         n = 1
         for d in dims.split(","):
             if d:
                 n *= int(d)
-        itemsize = 2 if dtype in ("bf16", "f16") else 4
-        hist[opcode] += 1
-        bytes_per[opcode] += n * itemsize
-    return hist, bytes_per
+        itemsize = 2 if dtype in ("bf16", "f16", "s16", "u16") else 4
+        ops[(opcode, dtype, dims, n * itemsize)] += 1
+    return ops
+
+
+def summarize(name, ops):
+    by_op = Counter()
+    for (opcode, dtype, dims, sz), cnt in ops.items():
+        by_op[opcode] += sz * cnt
+    total = sum(by_op.values())
+    print(f"\n== {name}: total op-output bytes {total/1e9:.2f} GB")
+    for op, b in by_op.most_common(12):
+        print(f"  {op:<16} {b/1e6:10.1f} MB")
+    return total
 
 
 def main():
@@ -48,52 +58,31 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), rgb, depth, train=False)
     variables, _ = load_trained_gate(variables)
 
-    def stems_only(v, r, d):
-        return model.apply(v, r, d,
-                           method=lambda m, r, d: m._stems(r, d, False)[0])
+    def dense_base(v, r, d):
+        return model.apply(v, r, d, train=False, baseline=True)
 
-    def stems_gate(v, r, d):
-        def f(m, r, d):
-            rp, dp = m._stems(r, d, False)
-            return m.gate_weights(rp, dp, hard=True)
-        return model.apply(v, r, d, method=f)
+    def dense_hard(v, r, d):
+        return model.apply(v, r, d, train=False, hard=True)
 
-    texts = {}
-    for name, fn in (("stems", stems_only), ("stems_gate", stems_gate)):
-        lowered = jax.jit(fn).lower(variables, rgb, depth)
-        compiled = lowered.compile()
-        txt = compiled.as_text()
+    sets, texts = {}, {}
+    for name, fn in (("dense_base", dense_base), ("dense_hard", dense_hard)):
+        txt = jax.jit(fn).lower(variables, rgb, depth).compile().as_text()
         texts[name] = txt
-        path = f"/tmp/hlo_{name}.txt"
-        with open(path, "w") as f:
+        with open(f"/tmp/hlo_{name}.txt", "w") as f:
             f.write(txt)
-        hist, byts = op_histogram(txt)
-        print(f"\n== {name} ({len(txt.splitlines())} lines -> {path})")
-        for op in sorted(byts, key=byts.get, reverse=True):
-            print(f"  {op:<14} x{hist[op]:<4} {byts[op]/1e6:10.1f} MB")
+        sets[name] = op_multiset(txt)
+        summarize(name, sets[name])
 
-    # big ops present only in stems_gate
-    def big_lines(txt, min_mb=5):
-        out = []
-        for line in txt.splitlines():
-            m = re.search(r"= ([a-z0-9]+)\[([\d,]+)\]", line)
-            if not m:
-                continue
-            n = 1
-            for d in m.group(2).split(","):
-                n *= int(d)
-            sz = n * (2 if m.group(1) in ("bf16", "f16") else 4)
-            if sz >= min_mb * 1e6:
-                opm = re.search(r"\]\S*\s+([a-z-]+)\(", line)
-                out.append((round(sz / 1e6), opm.group(1) if opm else "?",
-                            line.strip()[:110]))
-        return out
-
-    a = {x[2] for x in big_lines(texts["stems"])}
-    print("\n== big ops only in stems_gate:")
-    for sz, op, line in big_lines(texts["stems_gate"]):
-        if line not in a:
-            print(f"  {sz:>5} MB {op:<14} {line}")
+    diff = sets["dense_hard"] - sets["dense_base"]
+    gone = sets["dense_base"] - sets["dense_hard"]
+    print("\n== ops added in dense_hard (count x size):")
+    for (opcode, dtype, dims, sz), cnt in sorted(
+            diff.items(), key=lambda kv: -kv[0][3] * kv[1])[:25]:
+        print(f"  +{cnt} x {sz/1e6:8.1f} MB  {opcode:<14} {dtype}[{dims}]")
+    print("\n== ops removed vs dense_base:")
+    for (opcode, dtype, dims, sz), cnt in sorted(
+            gone.items(), key=lambda kv: -kv[0][3] * kv[1])[:15]:
+        print(f"  -{cnt} x {sz/1e6:8.1f} MB  {opcode:<14} {dtype}[{dims}]")
 
 
 if __name__ == "__main__":
