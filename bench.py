@@ -78,19 +78,21 @@ def log(msg: str):
 
 def make_scan_bench(apply_fn):
     """Wrap apply_fn(variables, rgb, depth)->logits in an N-iteration scan
-    with an artificial data dependency; returns jitted fn -> scalar."""
+    with an artificial data dependency; returns jitted fn -> scalar.
+
+    The carry is a SCALAR perturbation of the input, not the input array
+    itself: carrying the 39 MB rgb buffer inflated routed-graph times by
+    several ms (buffer copies per iteration)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def run(variables, rgb, depth):
-        def body(carry, _):
-            out = apply_fn(variables, carry, depth)
-            # chain: negligible perturbation keeps a true data dependency
-            carry = carry + 1e-30 * jnp.mean(out)
-            return carry, ()
-        carry, _ = jax.lax.scan(body, rgb, None, length=SCAN_ITERS)
-        return jnp.sum(carry[0, 0, 0])
+        def body(c, _):
+            out = apply_fn(variables, rgb + c, depth)
+            return 1e-30 * jnp.sum(out[0, 0, 0]), ()
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=SCAN_ITERS)
+        return c
 
     return run
 
@@ -207,7 +209,7 @@ def bench_modality():
         def nop(*a):
             return jnp.sum(a[0][(0,) * a[0].ndim])
 
-        res = {}
+        runs = {}
         for name, f in cands.items():
             @jax.jit
             def run(*a, f=f):
@@ -224,16 +226,19 @@ def bench_modality():
                 c, _ = jax.lax.scan(body, jnp.float32(0.0), None,
                                     length=iters)
                 return c
+            runs[name] = run
             float(run(*args))  # compile
-            best = np.inf
-            for _ in range(3):
-                t0 = time.perf_counter(); float(run(*args))
+        # interleave reps so contention drift cancels in the ratios
+        raw = {k: [] for k in runs}
+        names = list(runs)
+        for rnd in range(4):
+            for k in names[rnd % len(names):] + names[:rnd % len(names)]:
+                t0 = time.perf_counter(); float(runs[k](*args))
                 tot = time.perf_counter() - t0
                 t0 = time.perf_counter(); float(nop(*args))
                 ov = time.perf_counter() - t0
-                best = min(best, max(tot - ov, 1e-9) / iters)
-            res[name] = best
-        return res
+                raw[k].append(max(tot - ov, 1e-9) / iters)
+        return {k: float(np.median(v)) for k, v in raw.items()}
 
     # ---- MOSEI (bs=1024, T=50) ----
     bs, t = 1024, 50
