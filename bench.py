@@ -412,6 +412,22 @@ def main():
     ratios = (counts / counts.sum()).round(4)
     log(f"live branch ratios on eval stream: {ratios}")
 
+    # bf16 dense baseline (the serving-mode dtype; activation drift vs the
+    # fp32 torch oracle is quantified in tests/test_torch_oracle.py).
+    # Measured 1.41x over fp32 across a stage decomposition
+    # (tools/perf_bf16.py: decoder 1.59x, encoders 1.33x, stems 1.19x).
+    try:
+        model_bf16 = _flagship(h, w, dtype=jnp.bfloat16)
+        f_bf16 = make_scan_bench(
+            lambda v, r, d: model_bf16.apply(v, r, d, train=False,
+                                             baseline=True))
+        tb16 = measure(f_bf16, nop, variables, rgb, depth, reps=2)
+        log(f"bs={BS} dense baseline bf16: {tb16*1e3:.2f} ms/batch "
+            f"({BS/tb16:.1f} fps)")
+    except Exception as e:
+        log(f"bf16 baseline failed: {e}")
+        tb16 = None
+
     # Modality-level routing (where DynMM's savings land on TPU wall time).
     try:
         modality = bench_modality()
@@ -470,6 +486,8 @@ def main():
                 "per_path_fps": per_path,
                 "branch_ratios": ratios.tolist(),
                 "gate": gate_kind,
+                **({"baseline_bf16_fps": round(BS / tb16, 1)}
+                   if tb16 else {}),
                 "modality_routing": modality,
                 **({"r50_routing": r50} if r50 is not None else {}),
             }

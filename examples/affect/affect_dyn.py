@@ -49,6 +49,10 @@ def main():
                     help="noise-robustness sweep over the test set")
     ap.add_argument("--measure", action="store_true",
                     help="measure inference latency (test_time harness)")
+    ap.add_argument("--routed", action="store_true",
+                    help="with --measure: time the bucket-compacted routed "
+                         "forward (per-sample expert dispatch; results match "
+                         "dense hard eval — tests/test_modality_routed.py)")
     args = ap.parse_args()
 
     if args.synthetic or not os.path.exists(args.data_path):
@@ -142,9 +146,14 @@ def main():
             import jax as _jax
             from dynmm_tpu.utils.profiling import test_time
 
-            fwd = _jax.jit(lambda b: model.apply(
-                {"params": state["params"], **state["model_state"]},
-                b["inputs"], b["lengths"], hard=True)[0])
+            variables = {"params": state["params"], **state["model_state"]}
+            if args.routed:
+                fwd = _jax.jit(lambda b: model.apply(
+                    variables, b["inputs"], b["lengths"],
+                    method=model.forward_routed_compact)[0])
+            else:
+                fwd = _jax.jit(lambda b: model.apply(
+                    variables, b["inputs"], b["lengths"], hard=True)[0])
             mean, std = test_time(
                 fwd, test_loader,
                 lambda b: {
