@@ -90,7 +90,7 @@ def make_scan_bench(apply_fn):
     def run(variables, rgb, depth):
         def body(c, _):
             out = apply_fn(variables, rgb + c, depth)
-            return 1e-30 * jnp.sum(out[0, 0, 0]), ()
+            return (1e-30 * jnp.sum(out[0, 0, 0])).astype(jnp.float32), ()
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=SCAN_ITERS)
         return c
 
