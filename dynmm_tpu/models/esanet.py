@@ -64,7 +64,13 @@ class ESANetConfig:
     dtype: Any = None
     use_pallas: bool = False  # fused SE kernel on the TPU inference path
     remat: bool = False       # rematerialize encoder stages in training
-    s2d_stem: bool = True     # space-to-depth stem conv (MXU-dense, same math)
+    # Space-to-depth stem lowering (same math). Default OFF: XLA's native
+    # small-channel strided conv path runs the plain 7×7/2 stem in 0.05 ms
+    # at bs=8 while the s2d-2 form costs 1.7 ms and deeper 2×2/4×4
+    # output-packed forms 3+ ms (transpose-dominated) —
+    # tools/perf_stemconv.py. The round-1 "3-channel convs waste the MXU"
+    # conclusion did not survive contention-robust re-measurement.
+    s2d_stem: bool = False
 
     @property
     def act(self) -> Callable:
