@@ -90,7 +90,8 @@ def make_scan_bench(apply_fn):
     def run(variables, rgb, depth):
         def body(c, _):
             out = apply_fn(variables, rgb + c, depth)
-            return (1e-30 * jnp.sum(out[0, 0, 0])).astype(jnp.float32), ()
+            probe = out[(0,) * out.ndim]  # rank-generic first element
+            return (1e-30 * jnp.sum(probe)).astype(jnp.float32), ()
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=SCAN_ITERS)
         return c
 
