@@ -175,6 +175,20 @@ class SkipGateESANet(_DualEncoderParts):
         # pins the pooled maps as materialized once.
         return jax.lax.optimization_barrier(out)
 
+    def _fuse_mixed(self, i: int, rgb, depth, w_rgb):
+        """``w·rgb + (1−w)·fuse(rgb, depth)`` with the mix folded into the
+        fusion itself (exact algebra, zero extra full-map traffic):
+        SE-add fusion folds into the per-sample SE scales
+        (``SqueezeAndExciteFusionAdd.fuse_mixed``); plain add fusion
+        simplifies to ``rgb + (1−w)·depth``. ``w_rgb``: (B,) weight on the
+        unfused rgb branch (the cumulative gate weight for blocks 1-3, and
+        ``1−w4`` for block 4 — the reference's :309-310 quirk)."""
+        if self.cfg.fuse_depth_in_rgb_encoder == "SE-add":
+            return getattr(self, f"se_layer{i}_mod").fuse_mixed(
+                rgb, depth, w_rgb)
+        w = w_rgb[:, None, None, None].astype(rgb.dtype)
+        return rgb + (1.0 - w) * depth
+
     def gate_weights(
         self,
         rgb,
@@ -225,17 +239,14 @@ class SkipGateESANet(_DualEncoderParts):
         for i in (1, 2, 3):
             rgb = getattr(self.encoder_rgb, f"layer{i}")(fused, train)
             depth = getattr(self.encoder_depth, f"layer{i}")(depth, train)
-            branch_fuse = self.fuse(i, rgb, depth)
-            # cumulative probability the gate stopped fusing before block i
-            w = weight[:, :i].sum(axis=1)[:, None, None, None]
-            fused = w * rgb + (1.0 - w) * branch_fuse
+            # cumulative probability the gate stopped fusing before block i,
+            # folded into the fusion's scale vectors (see _fuse_mixed)
+            fused = self._fuse_mixed(i, rgb, depth, weight[:, :i].sum(axis=1))
             skips.append(self.skip(i, fused, train))
 
         rgb = self.encoder_rgb.layer4(fused, train)
         depth = self.encoder_depth.layer4(depth, train)
-        branch_fuse = self.fuse(4, rgb, depth)
-        w4 = weight[:, 4][:, None, None, None]
-        fused = (1.0 - w4) * rgb + w4 * branch_fuse
+        fused = self._fuse_mixed(4, rgb, depth, 1.0 - weight[:, 4])
 
         out = self.head(fused, skips, train)
 
@@ -293,9 +304,7 @@ class SkipGateESANet(_DualEncoderParts):
             def fuse_i(ops, i=i):
                 r, d, w = ops
                 d = getattr(self.encoder_depth, f"layer{i}")(d, train)
-                branch_fuse = self.fuse(i, r, d)
-                wi = w[:, :i].sum(axis=1)[:, None, None, None]
-                return wi * r + (1.0 - wi) * branch_fuse, d
+                return self._fuse_mixed(i, r, d, w[:, :i].sum(axis=1)), d
 
             def skip_i(ops, i=i):
                 r, d, w = ops
@@ -313,9 +322,7 @@ class SkipGateESANet(_DualEncoderParts):
         def fuse_4(ops):
             r, d, w = ops
             d = self.encoder_depth.layer4(d, train)
-            branch_fuse = self.fuse(4, r, d)
-            w4 = w[:, 4][:, None, None, None]
-            return (1.0 - w4) * r + w4 * branch_fuse
+            return self._fuse_mixed(4, r, d, 1.0 - w[:, 4])
 
         fused = jax.lax.cond(
             k_max >= 4, fuse_4, lambda ops: ops[0], (r, depth, weight)
@@ -395,13 +402,11 @@ class SkipGateESANet(_DualEncoderParts):
                     d_p = getattr(self.encoder_depth, f"layer{i}")(
                         d[:cap], train
                     )
-                    bf = self.fuse(i, r[:cap], d_p)
                     if i < 4:
-                        wi = w_s[:cap, :i].sum(axis=1)[:, None, None, None]
-                        mixed = wi * r[:cap] + (1.0 - wi) * bf
+                        wi = w_s[:cap, :i].sum(axis=1)
                     else:
-                        w4 = w_s[:cap, 4][:, None, None, None]
-                        mixed = (1.0 - w4) * r[:cap] + w4 * bf
+                        wi = 1.0 - w_s[:cap, 4]
+                    mixed = self._fuse_mixed(i, r[:cap], d_p, wi)
                     if cap == bs:
                         return mixed, d_p
                     pad = jnp.zeros((bs - cap,) + d_p.shape[1:], d_p.dtype)

@@ -242,6 +242,13 @@ class SqueezeAndExcitation(nn.Module):
             w1, b1, w2, b2 = (a.astype(self.dtype) for a in (w1, b1, w2, b2))
         return w1, b1, w2, b2
 
+    def scale(self, x):
+        """The (B, C) sigmoid recalibration vector (no map traffic)."""
+        w1, b1, w2, b2 = self.weights()
+        pooled = x.mean(axis=(1, 2))
+        s = self.activation(pooled @ w1 + b1)
+        return jax.nn.sigmoid(s @ w2 + b2)
+
     def __call__(self, x):
         w1, b1, w2, b2 = self.weights()
 
@@ -306,6 +313,21 @@ class SqueezeAndExciteFusionAdd(nn.Module):
 
     def __call__(self, rgb, depth):
         return self.se_rgb(rgb) + self.se_depth(depth)
+
+    def fuse_mixed(self, rgb, depth, w_rgb):
+        """``w·rgb + (1−w)·(se(rgb) + se(depth))`` with the per-sample mix
+        FOLDED into the SE scale vectors — exact algebra
+        (``w·r + (1−w)(r·s_r + d·s_d) = r·(w+(1−w)s_r) + d·((1−w)s_d)``),
+        so the gate mixing used by every DynMM forward costs zero extra
+        full-map traffic over plain SE-add fusion. ``w_rgb``: (B,) weight
+        on the unfused rgb branch."""
+        s_r = self.se_rgb.scale(rgb)
+        s_d = self.se_depth.scale(depth)
+        w = w_rgb[:, None].astype(s_r.dtype)
+        s_r = w + (1.0 - w) * s_r
+        s_d = (1.0 - w) * s_d
+        return (rgb * s_r[:, None, None, :]
+                + depth * s_d[:, None, None, :])
 
     def fuse_and_pool(self, rgb, depth):
         """Fused stem tail: SE-add + maxpool(3,2,1) of both the fused map
