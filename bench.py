@@ -273,6 +273,38 @@ def bench_modality():
         + "/".join(f"{res[k]*1e3:.2f}" for k in ("f0", "f25", "f50"))
         + " ms (vs_big "
         + "/".join(f"{big/res[k]:.2f}" for k in ("f0", "f25", "f50")) + ")")
+
+    # ---- MM-IMDB (bs=4096; 8.7× branch MAC ratio) ----
+    ib = 4096
+    text = jnp.asarray(rng.standard_normal((ib, 300)).astype(np.float32))
+    image = jnp.asarray(rng.standard_normal((ib, 4096)).astype(np.float32))
+    imodel = IMDBDynMMNet()
+    iv = imodel.init(jax.random.PRNGKey(1), [text, image])
+
+    def iforced(frac):
+        fk = jnp.asarray(
+            (np.arange(ib) < int(round(frac * ib))).astype(np.int32))
+        return lambda t, im, v: imodel.apply(
+            v, [t, im], force_k=fk,
+            method=imodel.forward_routed_compact)[0]
+
+    icands = {
+        "baseline_big": lambda t, im, v: imodel.apply(
+            v, [t, im], infer_mode=2)[0],
+        "f0": iforced(0.0), "f25": iforced(0.25), "f50": iforced(0.5),
+    }
+    ires = measure_set(icands, (text, image, iv))
+    ibig = ires["baseline_big"]
+    out["imdb_bs4096"] = {
+        "baseline_big_ms": round(ibig * 1e3, 3),
+        "routed_ms": {k: round(ires[k] * 1e3, 3)
+                      for k in ("f0", "f25", "f50")},
+        "vs_big": {k: round(ibig / ires[k], 2) for k in ("f0", "f25", "f50")},
+    }
+    log(f"imdb bs=4096: big {ibig*1e3:.2f} ms; routed f0/f25/f50 "
+        + "/".join(f"{ires[k]*1e3:.2f}" for k in ("f0", "f25", "f50"))
+        + " ms (vs_big "
+        + "/".join(f"{ibig/ires[k]:.2f}" for k in ("f0", "f25", "f50")) + ")")
     return out
 
 
