@@ -40,7 +40,15 @@ def permute_rows(x, perm, via_matmul: bool = True):
     # the one-hot contraction does n²·D MACs — a win at small batch (0.03 ms
     # at seg's bs=8) but a 147 GFLOP matmul at bs=4096; gathers of small rows
     # are fine, it's multi-MB rows that crater (12.8 ms for 24.5 MB rows)
-    if not via_matmul or x.ndim == 1 or x.dtype.kind != "f" or n > 256:
+    # jnp.issubdtype, not dtype.kind: numpy's bfloat16 extension dtype has
+    # kind 'V', and bf16 is the documented serving dtype — a kind check would
+    # silently route it onto the slow gather path.
+    if (
+        not via_matmul
+        or x.ndim == 1
+        or not jnp.issubdtype(x.dtype, jnp.floating)
+        or n > 256
+    ):
         return jnp.take(x, perm, axis=0)
     p = jax.nn.one_hot(perm, n, dtype=x.dtype)  # (n, n), row i picks perm[i]
     return jax.lax.dot_general(p, x, (((1,), (0,)), ((), ())))
@@ -97,12 +105,19 @@ def compact_two_branch(
     bs = k.shape[0]
     if caps is None:
         caps = (0, bs // 4, bs // 2, (3 * bs) // 4, bs)
-    caps = [c for c in caps] + [bs]
+    caps = [int(c) for c in caps] + [bs]
+    for c in caps:
+        if not 0 <= c <= bs:
+            raise ValueError(
+                f"capacity ladder entry {c} outside [0, batch={bs}]; "
+                f"caps={caps[:-1]}"
+            )
 
     order = jnp.argsort(-k)  # expensive-branch samples first
     inv = jnp.argsort(order)
     sorted_inputs = jax.tree_util.tree_map(
-        lambda a: permute_rows(a, order) if a.dtype.kind == "f"
+        lambda a: permute_rows(a, order)
+        if jnp.issubdtype(a.dtype, jnp.floating)
         else jnp.take(a, order, axis=0),
         inputs,
     )

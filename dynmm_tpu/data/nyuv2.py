@@ -36,12 +36,48 @@ CLASS_NAMES_40 = [
 ]
 
 
+# Fixed 13-class palette published with the dataset tooling the reference
+# vendors (FusionDynMM/src/datasets/nyuv2/nyuv2.py:312-326).
+CLASS_COLORS_13 = np.array(
+    [
+        [0, 0, 0], [0, 0, 255], [232, 88, 47], [0, 217, 0], [148, 0, 240],
+        [222, 241, 23], [255, 205, 205], [0, 223, 228], [106, 135, 204],
+        [116, 28, 41], [240, 35, 235], [0, 166, 156], [249, 139, 0],
+        [225, 228, 194],
+    ],
+    dtype=np.uint8,
+)
+
+
+def voc_colormap(n: int) -> np.ndarray:
+    """Standard PASCAL-VOC bit-interleaved colormap ((n,3) uint8).
+
+    Color i spreads i's bits across the high bits of r/g/b (bit 3k of i →
+    bit 7-k of r, 3k+1 → g, 3k+2 → b). This is the palette the reference's
+    40/894-class colored label maps use
+    (``nyuv2/nyuv2.py:8-24`` → ``CLASS_COLORS_40``, :327).
+    """
+    idx = np.arange(n, dtype=np.uint32)
+    cmap = np.zeros((n, 3), dtype=np.uint8)
+    for j in range(8):
+        for ch in range(3):
+            bit = (idx >> (3 * j + ch)) & 1
+            cmap[:, ch] |= (bit << (7 - j)).astype(np.uint8)
+    return cmap
+
+
 def class_colors(n: int = N_CLASSES + 1, seed: int = 1) -> np.ndarray:
-    """Deterministic visualization palette ((n,3) uint8; index 0 = void/black)."""
-    rng = np.random.default_rng(seed)
-    colors = rng.integers(0, 255, size=(n, 3), dtype=np.uint8)
-    colors[0] = 0
-    return colors
+    """Visualization palette ((n,3) uint8; index 0 = void/black).
+
+    Matches the reference's published tables: the fixed 13-class list for
+    n=14, the VOC colormap otherwise (reference CLASS_COLORS_40/894). The
+    ``seed`` arg is kept for API compatibility and ignored (the palette is
+    deterministic by construction).
+    """
+    del seed
+    if n == len(CLASS_COLORS_13):
+        return CLASS_COLORS_13.copy()
+    return voc_colormap(n)
 
 
 class NYUv2Dataset:

@@ -460,6 +460,13 @@ class SkipGateESANet(_DualEncoderParts):
         > k are never executed). Designed for small batches — the gate
         decision is taken from sample 0, so use batch=1 for per-sample
         routing (the reference's eval regime)."""
+        if force_path is None and rgb.shape[0] != 1:
+            raise ValueError(
+                "forward_switch routes the WHOLE batch by sample 0's gate "
+                f"decision; got batch={rgb.shape[0]}. Use batch=1, pass "
+                "force_path, or use forward_switch_batched / "
+                "forward_routed_compact for per-sample batched routing."
+            )
         train = False
         rgb, depth = self._stems(rgb, depth, train)
         weight = self.gate_weights(rgb, depth, temp=temp, hard=True,

@@ -184,3 +184,38 @@ class TestCameraFiltering:
         with ds.filter_camera("realsense"):
             assert len(ds) == 0
         assert len(ds) == 4  # restored
+
+
+class TestClassColors:
+    """VERDICT r2 item 9: predict.py colors must match the reference's
+    published NYUv2 palette (nyuv2/nyuv2.py:27-328), not a random table."""
+
+    def _ref_base(self):
+        import importlib.util
+
+        path = "/root/reference/FusionDynMM/src/datasets/nyuv2/nyuv2.py"
+        if not os.path.exists(path):
+            pytest.skip("reference mount unavailable")
+        spec = importlib.util.spec_from_file_location("_ref_nyuv2", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.NYUv2Base
+
+    def test_40_class_palette_matches_reference(self):
+        from dynmm_tpu.data.nyuv2 import class_colors
+
+        ref = np.asarray(self._ref_base().CLASS_COLORS_40, np.uint8)
+        np.testing.assert_array_equal(class_colors(41), ref)
+        assert tuple(class_colors(41)[0]) == (0, 0, 0)  # void stays black
+
+    def test_13_class_palette_matches_reference(self):
+        from dynmm_tpu.data.nyuv2 import class_colors
+
+        ref = np.asarray(self._ref_base().CLASS_COLORS_13, np.uint8)
+        np.testing.assert_array_equal(class_colors(14), ref)
+
+    def test_894_class_palette_matches_reference(self):
+        from dynmm_tpu.data.nyuv2 import voc_colormap
+
+        ref = np.asarray(self._ref_base().CLASS_COLORS_894, np.uint8)
+        np.testing.assert_array_equal(voc_colormap(895), ref)

@@ -44,3 +44,27 @@ class TestPermuteRows:
         got = np.asarray(permute_rows(x, perm).astype(jnp.float32))
         ref = np.asarray(jnp.take(x, perm, axis=0).astype(jnp.float32))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_bf16_uses_dot_general_path():
+    # numpy's bfloat16 dtype has kind 'V'; a dtype.kind check would silently
+    # demote the documented serving dtype to the slow gather (ADVICE r2).
+    import jax
+
+    x = jnp.zeros((8, 4, 4), jnp.bfloat16)
+    perm = jnp.arange(8, dtype=jnp.int32)
+    jaxpr = str(jax.make_jaxpr(permute_rows)(x, perm))
+    assert "dot_general" in jaxpr and "gather" not in jaxpr
+
+
+def test_compact_two_branch_rejects_bad_caps():
+    from dynmm_tpu.core.routing import compact_two_branch
+
+    k = jnp.asarray(np.array([1, 0, 1, 0], np.int32))
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((4, 3)).astype(np.float32))
+    fn = lambda t: t * 2.0
+    with np.testing.assert_raises_regex(ValueError, "capacity ladder"):
+        compact_two_branch(k, x, fn, fn, (3,), caps=(0, 9, 4))
+    with np.testing.assert_raises_regex(ValueError, "capacity ladder"):
+        compact_two_branch(k, x, fn, fn, (3,), caps=(-1, 4))

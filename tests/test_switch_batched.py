@@ -47,3 +47,17 @@ def test_batched_switch_jit(model_vars):
     f = jax.jit(lambda v, r, d: m.apply(v, r, d, method=m.forward_switch_batched))
     out = f(v, rgb, depth)
     assert out.shape == (2, 64, 64, 5)
+
+
+def test_forward_switch_rejects_batch_gt1(model_vars):
+    # VERDICT r2 item 8: forward_switch takes its routing decision from
+    # sample 0; silently applying it to a whole batch would be wrong math.
+    m, v = model_vars
+    rgb, depth = rand_inputs(np.random.default_rng(4), batch=2)
+    with pytest.raises(ValueError, match="sample 0"):
+        m.apply(v, rgb, depth, method=m.forward_switch)
+    # batch=1 and force_path stay valid
+    out1 = m.apply(v, rgb[:1], depth[:1], method=m.forward_switch)
+    assert out1.shape[0] == 1
+    outf = m.apply(v, rgb, depth, force_path=4, method=m.forward_switch)
+    assert outf.shape[0] == 2

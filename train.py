@@ -56,7 +56,10 @@ def main():
         f.write(" ".join(sys.argv) + "\n")
 
     print("preparing data")
-    train_loader, valid_loader = prepare_data(args)
+    # prepare_data returns a third full-res loader when --valid_full_res is
+    # set (cli/seg_build.py); train validates at training res like the
+    # reference, so the extra loader is accepted but unused here.
+    train_loader, valid_loader, *_ = prepare_data(args)
     n_classes = train_loader.dataset.n_classes_without_void
     class_weights = compute_class_weights(
         train_loader.dataset, n_classes, args.class_weighting,
