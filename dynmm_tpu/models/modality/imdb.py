@@ -46,6 +46,7 @@ class IMDBDynMMNet(nn.Module):
 
     branch_num: int = 2
     num_classes: int = NUM_CLASSES
+    dropout_rate: float = 0.3  # MaxOut_MLP default; 0.0 for deterministic parity
 
     def setup(self):
         self.text_encoder = MLP(512, 512, name="text_encoder")
@@ -55,8 +56,11 @@ class IMDBDynMMNet(nn.Module):
         self.image_head = MLP(512, self.num_classes, name="image_head")
         self.branch3 = MMDL(
             encoders=[
-                MaxOut_MLP(512, first_hidden=512, linear_layer=False),
-                MaxOut_MLP(512, first_hidden=1024, second_hidden=512, linear_layer=False),
+                MaxOut_MLP(512, first_hidden=512, linear_layer=False,
+                           dropout_rate=self.dropout_rate),
+                MaxOut_MLP(512, first_hidden=1024, second_hidden=512,
+                           linear_layer=False,
+                           dropout_rate=self.dropout_rate),
             ],
             fusion=Concat(),
             head=LinearHead(self.num_classes),

@@ -26,7 +26,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from dynmm_tpu.nn.layers import BN_EPS, BN_MOMENTUM, max_pool_3x3_s2, torch_conv
+from dynmm_tpu.nn.layers import (BN_EPS, BN_MOMENTUM, TorchBatchNorm,
+                                 max_pool_3x3_s2, torch_conv)
 
 Dtype = Any
 
@@ -37,7 +38,7 @@ he_normal_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
 def _bn(name: str, eps: float, dtype, train: bool):
-    return nn.BatchNorm(
+    return TorchBatchNorm(
         use_running_average=not train,
         momentum=BN_MOMENTUM,
         epsilon=eps,
@@ -352,7 +353,7 @@ class ResNet(nn.Module):
         # space-to-depth path can re-tile it; the conv itself is applied in
         # ``stem`` via lax.conv_general_dilated.
         self.conv1 = _StemKernel(self.input_channels, name="conv1")
-        self.bn1 = nn.BatchNorm(
+        self.bn1 = TorchBatchNorm(
             momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype, name="bn1"
         )
         e = self.expansion

@@ -38,7 +38,8 @@ from dynmm_tpu.core.gates import diff_softmax
 from dynmm_tpu.core.resource import expected_cost_loss
 from dynmm_tpu.core.routing import permute_rows
 from dynmm_tpu.models.esanet import ESANetConfig, _DualEncoderParts
-from dynmm_tpu.nn.layers import BN_EPS, BN_MOMENTUM, max_pool_3x3_s2, torch_conv
+from dynmm_tpu.nn.layers import (BN_EPS, BN_MOMENTUM, TorchBatchNorm,
+                                 max_pool_3x3_s2, torch_conv)
 
 Dtype = Any
 
@@ -128,7 +129,7 @@ class GlobalGate(nn.Module):
 
         x = conv5s2(rgb, kernel[:, :, :c]) + conv5s2(depth, kernel[:, :, c:])
         x = x + bias
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
             dtype=self.dtype, name="bn1",
         )(x)
@@ -136,7 +137,7 @@ class GlobalGate(nn.Module):
         x = torch_conv(
             self.hidden_dim, 5, stride=2, padding=0, dtype=self.dtype, name="conv2"
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
             dtype=self.dtype, name="bn2",
         )(x)

@@ -111,6 +111,77 @@ def global_avg_pool(x: jax.Array, keepdims: bool = True) -> jax.Array:
     return x.mean(axis=(1, 2), keepdims=keepdims)
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with exact torch running-stat semantics.
+
+    flax's ``nn.BatchNorm`` updates the running variance with the *biased*
+    batch variance; torch's ``BatchNorm2d`` uses the *unbiased* one
+    (``× n/(n−1)``) for the running update while normalizing with the biased
+    one. That factor is a real train-step divergence vs the reference
+    (``model_utils.py`` BNs, NBt1D eps 1e-3) — caught by the gradient/BN
+    parity suite (tests/test_torch_train_parity.py). Variable layout matches
+    ``nn.BatchNorm`` exactly (params ``{scale, bias}``, batch_stats
+    ``{mean, var}``, all (C,) float32) so checkpoints, importers and every
+    existing test tree are unaffected.
+    """
+
+    use_running_average: Optional[bool] = None
+    momentum: float = BN_MOMENTUM  # retained fraction (flax convention)
+    epsilon: float = BN_EPS
+    use_scale: bool = True
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        use_running_average = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feat = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (feat,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (feat,)
+        )
+        scale = (
+            self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+            if self.use_scale else 1.0
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+            if self.use_bias else 0.0
+        )
+        axes = tuple(range(x.ndim - 1))
+        # stats in at least f32; f64 inputs keep f64 (the x64 parity oracle)
+        stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
+        if use_running_average:
+            mean = ra_mean.value.astype(stat_dtype)
+            var = ra_var.value.astype(stat_dtype)
+        else:
+            xf = x.astype(stat_dtype)
+            mean = jnp.mean(xf, axes)
+            # two-pass (torch-style) rather than E[x²]−E[x]²: tighter match
+            # to the oracle's batch statistics at large activations
+            var = jnp.mean(jnp.square(xf - mean), axes)
+            if not self.is_initializing():
+                n = 1
+                for ax in axes:
+                    n *= x.shape[ax]
+                bessel = n / (n - 1) if n > 1 else 1.0
+                m = self.momentum
+                dt = ra_mean.value.dtype
+                ra_mean.value = (m * ra_mean.value
+                                 + (1.0 - m) * mean.astype(dt))
+                ra_var.value = (m * ra_var.value
+                                + (1.0 - m) * (var * bessel).astype(dt))
+        y = (x.astype(stat_dtype) - mean) * jax.lax.rsqrt(
+            var + self.epsilon
+        ) * jnp.asarray(scale, stat_dtype) + jnp.asarray(bias, stat_dtype)
+        out_dtype = self.dtype or stat_dtype
+        return y.astype(out_dtype)
+
+
 class BatchNorm(nn.Module):
     """Thin wrapper pinning torch-compatible BN defaults.
 
@@ -123,7 +194,7 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(
+        return TorchBatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.eps,
@@ -158,7 +229,7 @@ class ConvBNAct(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
@@ -185,7 +256,7 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
@@ -423,10 +494,21 @@ def _bilinear_3x3_kernel(channels: int, dtype=jnp.float32) -> jax.Array:
 
 
 def resize_nearest(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
-    """Nearest-neighbor resize of NHWC to (H, W) — torch 'nearest' semantics
-    (floor of source index; for exact ×2 both conventions agree)."""
-    n, _, _, c = x.shape
-    return jax.image.resize(x, (n, out_hw[0], out_hw[1], c), method="nearest")
+    """Nearest-neighbor resize of NHWC to (H, W) — torch 'nearest' semantics:
+    source index = ``floor(i · in / out)`` (asymmetric, NOT half-pixel).
+
+    ``jax.image.resize(method='nearest')`` rounds half-pixel centers, which
+    agrees with torch on integer upscales but picks different source cells on
+    fractional scales (caught by the train-parity oracle: PPM's 5×5 bin
+    map resized to a 3×4 context grid at 96×128 input). Integer upscales take
+    the repeat path (no gather — XLA lowers it to a broadcast-reshape)."""
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if oh % h == 0 and ow % w == 0:
+        return jnp.repeat(jnp.repeat(x, oh // h, axis=1), ow // w, axis=2)
+    idx_h = (jnp.arange(oh) * h) // oh
+    idx_w = (jnp.arange(ow) * w) // ow
+    return x[:, idx_h][:, :, idx_w]
 
 
 def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:

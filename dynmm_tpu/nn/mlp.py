@@ -16,6 +16,8 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 
+from dynmm_tpu.nn.layers import TorchBatchNorm
+
 Dtype = Any
 
 
@@ -84,12 +86,12 @@ class MaxOut_MLP(nn.Module):
         second_hidden = (
             self.second_hidden if self.second_hidden is not None else self.first_hidden
         )
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn0",
             dtype=self.dtype,
         )(x)
         x = Maxout(self.first_hidden, 2, dtype=self.dtype, name="max1")(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
@@ -100,7 +102,7 @@ class MaxOut_MLP(nn.Module):
         )(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = Maxout(second_hidden, 2, dtype=self.dtype, name="max2")(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
