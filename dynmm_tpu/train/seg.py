@@ -173,7 +173,21 @@ class SegTrainer:
             return arrays
         from dynmm_tpu.parallel import shard_batch
 
+        # eval loaders can yield ragged tail batches; shard only when the
+        # batch divides the data axis, else leave host-replicated (jit still
+        # runs it under the mesh)
+        n_data = self.mesh.shape["data"]
+        if any(a.shape[0] % n_data != 0 for a in arrays):
+            return arrays
         return shard_batch(arrays, self.mesh)
+
+    def _mesh_ctx(self):
+        import contextlib
+
+        return (
+            jax.set_mesh(self.mesh) if self.mesh is not None
+            else contextlib.nullcontext()
+        )
 
     # ------------------------------------------------------------------ state
     def init_state(self, rng, sample_batch) -> dict:
@@ -324,13 +338,6 @@ class SegTrainer:
         t0 = time.time()
         totals, per_scales, flops = [], [], []
         rng = jax.random.PRNGKey(epoch)
-        import contextlib
-
-        def mesh_ctx():
-            return (
-                jax.set_mesh(self.mesh) if self.mesh is not None
-                else contextlib.nullcontext()
-            )
 
         for i, batch in enumerate(loader):
             rng, sub = jax.random.split(rng)
@@ -340,7 +347,7 @@ class SegTrainer:
             image, depth, *targets = self._maybe_shard_batch(
                 jnp.asarray(batch["image"]), jnp.asarray(batch["depth"]), *targets
             )
-            with mesh_ctx():
+            with self._mesh_ctx():
                 state, total, per_scale, loss_flop = step(
                     state, image, depth, targets, lr, temp, sub
                 )
@@ -443,9 +450,13 @@ class SegTrainer:
             )
 
             t0 = time.time()
-            pred_logits, pred_full, weight = step(
-                state, jnp.asarray(image), jnp.asarray(depth)
+            # mesh validation: batches shard over 'data' like training
+            # (SURVEY §5.8); per-camera mIoU math is unchanged
+            image_j, depth_j = self._maybe_shard_batch(
+                jnp.asarray(image), jnp.asarray(depth)
             )
+            with self._mesh_ctx():
+                pred_logits, pred_full, weight = step(state, image_j, depth_j)
             pred_full = np.asarray(pred_full)
             self._phase_forward += time.time() - t0
 

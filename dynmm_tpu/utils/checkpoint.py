@@ -84,20 +84,42 @@ def load_ckpt(path: str, target: Optional[dict] = None):
 def save_orbax(path: str, state: dict, epoch: int = 0) -> str:
     """Orbax checkpointing (async-capable, shards multi-device arrays) — the
     scale-out alternative to the msgpack format for mesh-sharded training
-    states."""
+    states. Mesh-sharded ``jax.Array`` leaves are saved shard-by-shard from
+    their devices (no host gather)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, {"epoch": epoch, "state": _to_host(state)}, force=True)
+        ckptr.save(path, {"epoch": epoch, "state": state}, force=True)
     return path
 
 
+def _abstract_leaf(leaf):
+    import jax
+
+    if isinstance(leaf, jax.Array):
+        return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
+                                    sharding=leaf.sharding)
+    return leaf
+
+
 def load_orbax(path: str, target: Optional[dict] = None) -> dict:
+    """Restore; with a ``target`` of live (possibly mesh-sharded) arrays the
+    leaves are restored DIRECTLY onto the target's shardings (each device
+    reads only its shard slices) — the sharded-resume path for mesh
+    training."""
+    import jax
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
+        if target is not None and any(
+            isinstance(l, jax.Array) for l in jax.tree_util.tree_leaves(target)
+        ):
+            abstract = jax.tree_util.tree_map(
+                _abstract_leaf, {"epoch": 0, "state": target}
+            )
+            return ckptr.restore(path, abstract)
         payload = ckptr.restore(path)
     if target is not None:
         payload["state"] = flax.serialization.from_state_dict(
