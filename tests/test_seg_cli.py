@@ -218,3 +218,27 @@ def test_eval_multicamera_fullres_per_class_iou(tmp_path):
     # per-class IoU table covers all 37 classes
     assert "per-class IoU" in result.stdout
     assert result.stdout.count("class_") == 37
+
+
+def test_eval_cli_bf16(tmp_path):
+    """--dtype bfloat16 is the shipped serving configuration (VERDICT r2
+    item 6): eval.py must run the hard-gate path in bf16 end to end."""
+    result = run_cli(
+        "train.py",
+        TINY_FLAGS
+        + ["--dynamic", "--global-gate", "--epochs", "1", "--eval-every", "1",
+           "--results_dir", str(tmp_path)],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    ckpts = glob.glob(str(tmp_path / "synthetic" / "*" / "ckpt_epoch_*.msgpack"))
+    assert ckpts
+
+    result = run_cli(
+        "eval.py",
+        TINY_FLAGS + ["--dynamic", "--global-gate", "--hard",
+                      "--dtype", "bfloat16", "--ckpt_path", ckpts[0]],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    assert "Mean" in result.stdout
