@@ -138,10 +138,12 @@ def measure_matmul_anchor():
     return out
 
 
-def measure_train_step():
+def measure_train_step(dtype: str = "float32"):
     """Full training-step throughput (fwd+bwd+SGD, multi-scale loss, soft
     gate — the reference's training regime) in samples/s, scan-timed with
-    the state carried through the scan (tools/perf_train.py folded in)."""
+    the state carried through the scan (tools/perf_train.py folded in).
+    ``dtype='bfloat16'`` benches mixed-precision training (bf16 compute,
+    fp32 params/optimizer — flax dtype semantics)."""
     import jax
     import jax.numpy as jnp
 
@@ -155,7 +157,7 @@ def measure_train_step():
     args = parser.parse_args([
         "--dataset", "synthetic", "--height", "480", "--width", "640",
         "--batch_size", str(BS), "--dynamic", "--global-gate",
-        "--loss-ratio", "1e-4",
+        "--loss-ratio", "1e-4", "--dtype", dtype,
     ])
     model = build_model(args, 40)
     cfg = SegTrainConfig(batch_size=BS, loss_ratio=1e-4, dynamic=True,
@@ -218,16 +220,19 @@ def measure(run, nop, *args, reps: int = 3, iters: int | None = None) -> float:
     iters = iters if iters is not None else SCAN_ITERS
     float(run(*args))  # compile + warm
     float(nop(*args))
-    best = np.inf
+    totals, overheads = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
         float(run(*args))
-        total = time.perf_counter() - t0
+        totals.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         float(nop(*args))
-        overhead = time.perf_counter() - t0
-        best = min(best, max(total - overhead, 1e-9) / iters)
-    return best
+        overheads.append(time.perf_counter() - t0)
+    # min(total) − min(overhead), NOT min(total − overhead): the paired
+    # subtraction lets a single inflated nop reading bias the best rep low
+    # (observed: impossible 342 TFLOP/s bf16 anchor readings). The minima
+    # are each the least-contended estimate of their own quantity.
+    return max(min(totals) - min(overheads), 1e-9) / iters
 
 
 def measure_interleaved(runs: dict, nop, *args, rounds: int = 5,
@@ -488,8 +493,10 @@ def main():
     # The serving series, ONE interleaved set (contention drift cancels in
     # every ratio). Mixed eval batch: half informative-depth, half
     # near-zero, so the trained gate routes input-dependently and routed
-    # candidates exercise mixed buckets. Ladder (bs/2, bs): the 0-rung never
-    # fires on mixed batches and its 4 extra conds cost ~0.6 ms.
+    # candidates exercise mixed buckets. Ladder (0, bs/2, bs): best of the
+    # measured ladders in both dtypes with the scatter-based compact path
+    # (tools/perf_routed_decomp.py — the 0 rung skips stage-4 depth
+    # entirely on the mixed stream).
     model_bf16 = _flagship(h, w, dtype=jnp.bfloat16)
     meds = measure_interleaved(
         {
@@ -501,11 +508,11 @@ def main():
                     v, r, d, train=False, baseline=True)),
             "routed_fp32": make_scan_bench(
                 lambda v, r, d: model.apply(
-                    v, r, d, caps=(BS // 2, BS),
+                    v, r, d, caps=(0, BS // 2, BS),
                     method=model.forward_routed_compact)),
             "routed_bf16": make_scan_bench(
                 lambda v, r, d: model_bf16.apply(
-                    v, r, d, caps=(BS // 2, BS),
+                    v, r, d, caps=(0, BS // 2, BS),
                     method=model_bf16.forward_routed_compact)),
             "batchmax_fp32": make_scan_bench(
                 lambda v, r, d: model.apply(
@@ -563,12 +570,16 @@ def main():
     except Exception as e:
         log(f"matmul anchor failed: {e}")
         anchor = None
-    train_sps = None
+    train_sps, train_sps16 = None, None
     if os.environ.get("BENCH_TRAIN", "1") not in ("", "0", "false"):
         try:
             train_sps = measure_train_step()
         except Exception as e:
             log(f"train-step bench failed: {e}")
+        try:
+            train_sps16 = measure_train_step("bfloat16")
+        except Exception as e:
+            log(f"train-step bf16 bench failed: {e}")
 
     # Modality-level routing (where DynMM's savings land on TPU wall time).
     try:
@@ -638,6 +649,8 @@ def main():
                     **({"matmul_anchor_tflops": anchor} if anchor else {}),
                     **({"train_step_samples_per_s": train_sps}
                        if train_sps else {}),
+                    **({"train_step_bf16_samples_per_s": train_sps16}
+                       if train_sps16 else {}),
                 },
                 "branch_ratios": ratios.tolist(),
                 "gate": gate_kind,

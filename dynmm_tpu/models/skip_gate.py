@@ -102,21 +102,26 @@ class GlobalGate(nn.Module):
     ``branch_num`` logits → DiffSoftmax.
 
     TPU lowering: the first conv runs as a split sum over the two modality
-    maps (no concat materialization — see ``_GateConvParams``)."""
+    maps (no concat materialization — see ``_GateConvParams``). The gate
+    always computes in fp32 regardless of the model dtype: its 8-channel
+    conv outputs pad 8→16 sublanes under bf16's (16, 128) tiling and the
+    bf16 gate measured +1.46 ms in-context vs fp32's +0.87
+    (tools/perf_routed_decomp.py); fp32 also keeps hard selections closest
+    to the fp32 oracle (the bf16 casts of the input maps fuse into the
+    first conv, so no extra HBM pass)."""
 
     branch_num: int = 5
     hidden_dim: int = 8
-    dtype: Optional[Dtype] = None
+    dtype: Optional[Dtype] = None  # accepted for config symmetry; unused
 
     @nn.compact
     def __call__(self, rgb, depth, temp: float = 1.0, hard: bool = False,
                  train: bool = False):
+        rgb = rgb.astype(jnp.float32)
+        depth = depth.astype(jnp.float32)
         c = rgb.shape[-1]
         p1 = _GateConvParams(2 * c, self.hidden_dim, name="conv1")
         kernel, bias = p1.kernel, p1.bias
-        if self.dtype is not None:
-            kernel = kernel.astype(self.dtype)
-            bias = bias.astype(self.dtype)
 
         def conv5s2(inp, k):
             dn = jax.lax.conv_dimension_numbers(
@@ -131,20 +136,20 @@ class GlobalGate(nn.Module):
         x = x + bias
         x = TorchBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
-            dtype=self.dtype, name="bn1",
+            dtype=None, name="bn1",
         )(x)
         x = jnp.tanh(x)
         x = torch_conv(
-            self.hidden_dim, 5, stride=2, padding=0, dtype=self.dtype, name="conv2"
+            self.hidden_dim, 5, stride=2, padding=0, dtype=None, name="conv2"
         )(x)
         x = TorchBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
-            dtype=self.dtype, name="bn2",
+            dtype=None, name="bn2",
         )(x)
         x = jnp.tanh(x)
         x = x.mean(axis=(1, 2), keepdims=True)  # adaptive avg pool → (B,1,1,C)
         logits = torch_conv(
-            self.branch_num, 1, use_bias=False, dtype=self.dtype, name="fc"
+            self.branch_num, 1, use_bias=False, dtype=None, name="fc"
         )(x)
         logits = logits[:, 0, 0, :]
         return diff_softmax(logits, tau=temp, hard=hard, axis=-1)
@@ -346,27 +351,32 @@ class SkipGateESANet(_DualEncoderParts):
         """Hard-gate batched inference with PER-SAMPLE depth skipping.
 
         ``forward_switch_batched`` skips at batch-max granularity — one
-        expensive sample forfeits the whole batch's savings. Here the batch
-        is permuted ONCE into descending-path order right after the gate, so
-        stage ``i``'s participants (``k ≥ i``, a monotone-shrinking set) are
-        always a PREFIX. Each depth stage then runs on a static prefix whose
-        capacity is picked from a power-of-2 ladder by a chain of 2-way
-        ``lax.cond``s, and the full batch is reassembled by concatenation —
-        no per-stage gathers or scatters; the only data movement is the
-        initial permute and the final logits unpermute. Per-sample mixing
-        uses the same cumulative hard one-hot weights as the dense forward:
-        padding rows inside a capacity prefix carry mix weight 1·rgb, so any
-        capacity ≥ n_i is exact and results match dense hard eval
+        expensive sample forfeits the whole batch's savings. Here ONLY the
+        depth stream is permuted into descending-path order right after the
+        gate, so stage ``i``'s participants (``k ≥ i``, a monotone-shrinking
+        set) are always a PREFIX of it. Each depth stage runs on a static
+        prefix whose capacity is picked from a ladder of 2-way ``lax.cond``s;
+        its per-sample contribution ``d_p · s_d`` is then SCATTERED back to
+        original batch positions with a one-hot dot_general
+        (``core.routing.scatter_rows``) and added to the UNSORTED rgb stream
+        — the separable mix algebra ``mixed = rgb·s_r' + depth·s_d'``
+        (``SqueezeAndExciteFusionAdd.fuse_mixed``) gives non-participants
+        ``s_r' = 1, s_d' = 0`` automatically, so the rgb stream, skips,
+        decoder and logits all stay in caller order. vs the earlier
+        sort-everything design this removes the two 157 MB stem permutes'
+        rgb half and the 196 MB logits unpermute (~1.1 ms fp32 / ~0.6 ms
+        bf16 of pure data movement at 480×640 bs=8); per-stage scatters
+        touch only stage-sized maps. Padding rows inside a capacity prefix
+        carry mix weight 1·rgb (cumulative hard one-hot), so any capacity
+        ≥ n_i is exact and results match dense hard eval
         (``tests/test_routed_compact.py``).
 
         ``caps``: capacity ladder (ascending, must end with the batch size).
         A ``lax.cond`` boundary costs ~0.15 ms at bs=8 480×640 on v5e
-        (tools/perf_dispatch.py — the earlier 1-2 ms readings were the
-        jnp.take permutes, since replaced by dot_general permutes), so the
-        default ladder ``(0, bs//2, bs)`` adds a half-batch rung: mixed
-        batches then run depth stages at half capacity once the sorted
-        participant prefix fits (measured win over ``(0, bs)`` on the
-        half-easy eval stream, tools/perf_inmodel.py). Any ladder is exact.
+        (tools/perf_dispatch.py), so the default ladder ``(0, bs//2, bs)``
+        adds a half-batch rung: mixed batches then run depth stages at half
+        capacity once the sorted participant prefix fits. Any ladder is
+        exact.
         """
         train = False
         rgb, depth = self._stems(rgb, depth, train)
@@ -375,10 +385,8 @@ class SkipGateESANet(_DualEncoderParts):
         k = jnp.argmax(weight, axis=-1).astype(jnp.int32)
         bs = rgb.shape[0]
 
-        order = jnp.argsort(-k)  # participants-first for every stage
-        inv = jnp.argsort(order)
-        rgb_s = permute_rows(rgb, order)
-        depth_s = permute_rows(depth, order)
+        order = jnp.argsort(-k)  # participants-first for every depth stage
+        depth_s = permute_rows(depth, order)  # ONLY depth is compacted
         w_s = jnp.take(weight, order, axis=0)  # (bs, 5) — gather is fine
         # n_i = #samples running depth stage i, i = 1..4
         counts = jnp.sum(k[:, None] >= jnp.arange(1, 5)[None, :], axis=0)
@@ -388,11 +396,16 @@ class SkipGateESANet(_DualEncoderParts):
 
         def prefix_depth_fuse(i, depth_buf, rgb_i):
             n = counts[i - 1]
+            if i < 4:
+                w_u = weight[:, :i].sum(axis=1)  # unsorted rgb-side weight
+            else:
+                w_u = 1.0 - weight[:, 4]
 
             def with_cap(cap):
                 def br(ops):
                     r, d = ops
                     if cap == 0:
+                        # n == 0 ⇒ every sample's w_u == 1 ⇒ mixed == rgb
                         z = jnp.zeros(
                             (bs, r.shape[1], r.shape[2],
                              self.encoder_depth.down_channels[
@@ -404,17 +417,16 @@ class SkipGateESANet(_DualEncoderParts):
                         d[:cap], train
                     )
                     if i < 4:
-                        wi = w_s[:cap, :i].sum(axis=1)
+                        w_sp = w_s[:cap, :i].sum(axis=1)
                     else:
-                        wi = 1.0 - w_s[:cap, 4]
-                    mixed = self._fuse_mixed(i, r[:cap], d_p, wi)
+                        w_sp = 1.0 - w_s[:cap, 4]
+                    mixed = self._fuse_mixed_scatter(
+                        i, r, d_p, w_u, w_sp, order
+                    )
                     if cap == bs:
                         return mixed, d_p
                     pad = jnp.zeros((bs - cap,) + d_p.shape[1:], d_p.dtype)
-                    return (
-                        jnp.concatenate([mixed, r[cap:]], axis=0),
-                        jnp.concatenate([d_p, pad], axis=0),
-                    )
+                    return mixed, jnp.concatenate([d_p, pad], axis=0)
 
                 return br
 
@@ -432,7 +444,7 @@ class SkipGateESANet(_DualEncoderParts):
             return choose(caps, (rgb_i, depth_buf))
 
         skips = []
-        fused = rgb_s
+        fused = rgb
         depth_buf = depth_s
         for i in (1, 2, 3):
             rgb_i = getattr(self.encoder_rgb, f"layer{i}")(fused, train)
@@ -440,11 +452,37 @@ class SkipGateESANet(_DualEncoderParts):
             skips.append(self.skip(i, fused, train))
         rgb4 = self.encoder_rgb.layer4(fused, train)
         fused, _ = prefix_depth_fuse(4, depth_buf, rgb4)
-        out = self.head(fused, skips, train)
-        out = permute_rows(out, inv)  # back to caller's sample order
+        out = self.head(fused, skips, train)  # already in caller order
         if return_weight:
             return out, weight
         return out
+
+    def _fuse_mixed_scatter(self, i: int, rgb, d_p, w_rgb_unsorted,
+                            w_rgb_sorted_prefix, order):
+        """``_fuse_mixed`` for the compacted-depth layout: ``rgb`` is the
+        FULL batch in caller order, ``d_p`` the depth stage output on the
+        sorted participant prefix (cap rows, original samples
+        ``order[:cap]``). Exact algebra: ``mixed = rgb·s_r' +
+        scatter(d_p·s_d')`` with ``s_r' = w + (1−w)·s_r`` computed from
+        unsorted weights and ``s_d' = (1−w)·s_d`` from sorted-prefix
+        weights; rows with w == 1 (non-participants and prefix padding)
+        contribute ``s_d' = 0``, so the scatter writes zeros there."""
+        from dynmm_tpu.core.routing import scatter_rows
+
+        bs = rgb.shape[0]
+        if self.cfg.fuse_depth_in_rgb_encoder == "SE-add":
+            mod = getattr(self, f"se_layer{i}_mod")
+            s_r = mod.se_rgb.scale(rgb)                      # (bs, C)
+            w_u = w_rgb_unsorted[:, None].astype(s_r.dtype)
+            s_r = w_u + (1.0 - w_u) * s_r
+            s_d = mod.se_depth.scale(d_p)                    # (cap, C)
+            w_sp = w_rgb_sorted_prefix[:, None].astype(s_d.dtype)
+            contrib = d_p * ((1.0 - w_sp) * s_d)[:, None, None, :]
+            return (rgb * s_r[:, None, None, :]
+                    + scatter_rows(contrib, order, bs))
+        w_sp = w_rgb_sorted_prefix.astype(d_p.dtype)
+        contrib = (1.0 - w_sp)[:, None, None, None] * d_p
+        return rgb + scatter_rows(contrib, order, bs)
 
     # ------------------------------------------------------ hard, real skips
     def forward_switch(
