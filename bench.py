@@ -395,7 +395,11 @@ def bench_modality():
             v, [t, im], infer_mode=2)[0],
         "f0": iforced(0.0), "f25": iforced(0.25), "f50": iforced(0.5),
     }
-    ires = measure_set(icands, (text, image, iv))
+    # iters=400: the f0 candidate is ~30-40 µs/iter — at iters=30 the whole
+    # call sits under the tunnel's ±ms noise floor and the median can reach
+    # 0 ms (r3 run reported an absurd 2.5e7× ratio); 400 iters puts ~14 ms
+    # of signal behind the smallest candidate
+    ires = measure_set(icands, (text, image, iv), iters=400)
     ibig = ires["baseline_big"]
     out["imdb_bs4096"] = {
         "baseline_big_ms": round(ibig * 1e3, 3),

@@ -160,3 +160,38 @@ def test_compact_bf16_selection_identical(setup):
         variables, rgb[:1], depth[:1], method=model16.forward_switch
     )
     assert out1.shape[0] == 1
+
+
+def test_scatter_rows_exact():
+    """scatter_rows places sorted-prefix rows at original positions and
+    zeros elsewhere (the primitive behind the scatter-based compaction)."""
+    from dynmm_tpu.core.routing import scatter_rows
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((5, 3, 4)).astype(np.float32))
+    order = jnp.asarray([3, 0, 4, 1, 2])
+    for cap in (0, 2, 5):
+        out = np.asarray(scatter_rows(x[:cap], order, 5))
+        expect = np.zeros((5, 3, 4), np.float32)
+        for p in range(cap):
+            expect[int(order[p])] = np.asarray(x[p])
+        np.testing.assert_allclose(out, expect, atol=0, rtol=0)
+
+
+def test_gate_computes_fp32_in_bf16_model(setup):
+    """GlobalGate ignores the model dtype: its weights come back fp32 and
+    selections match the fp32 model exactly (docstring in skip_gate.py)."""
+    _, variables, rgb, depth = setup
+    import dataclasses
+
+    cfg16 = dataclasses.replace(CFG, dtype=jnp.bfloat16)
+    model16 = SkipGateESANet(cfg16)
+    model32 = SkipGateESANet(CFG)
+    _, w16 = model16.apply(
+        variables, rgb, depth, train=False, hard=True, return_weight=True
+    )
+    _, w32 = model32.apply(
+        variables, rgb, depth, train=False, hard=True, return_weight=True
+    )
+    assert w16.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(w16), np.asarray(w32))
