@@ -94,7 +94,8 @@ def make_scan_bench(apply_fn):
             # perturb EVERY input a candidate might ignore (depth too —
             # routed graphs can skip all depth stages and XLA would hoist
             # the depth-only subgraphs out of the scan otherwise)
-            out = apply_fn(variables, rgb + c, depth + c)
+            out = apply_fn(variables, rgb + c,
+                           depth + c if depth is not None else None)
             probe = out[(0,) * out.ndim]  # rank-generic first element
             return (1e-30 * jnp.sum(probe)).astype(jnp.float32), ()
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=SCAN_ITERS)
