@@ -576,6 +576,36 @@ def main():
         per_path[f"k{k}"] = round(BS / tk, 1)
         log(f"  forced path k={k}: {tk*1e3:.2f} ms/batch ({BS/tk:.1f} fps)")
 
+    # bs=1 serving latency (the reference's eval regime): packed bf16
+    # switch is the shipped single-image path. 50 scan iters — bs=1 bodies
+    # are ~2-3 ms, so the default 10 would leave the readback noise floor
+    # too close.
+    global SCAN_ITERS
+    saved_iters, SCAN_ITERS = SCAN_ITERS, 50
+    try:
+        bs1_runs = {
+            "bs1_dense_fp32": make_scan_bench(dense_fn(model)),
+            "bs1_dense_bf16_packed": make_scan_bench(dense_fn(model_bf16)),
+            "bs1_switch_bf16_packed": make_scan_bench(
+                lambda v, r, d: model_bf16.apply(
+                    v, r, d, method=model_bf16.forward_switch)),
+        }
+        bs1_raw = (variables, rgb[:1], depth[:1])
+        bs1_packed = (variables, rgb_p[:1], depth_p[:1])
+        bs1_meds = measure_interleaved(
+            bs1_runs, nop, *bs1_raw, rounds=3, iters=SCAN_ITERS,
+            args_map={k: bs1_packed for k in bs1_runs if "packed" in k},
+        )
+        for k, t in bs1_meds.items():
+            log(f"{k}: {t*1e3:.2f} ms ({1/t:.1f} fps)")
+        bs1_series = {f"{k}_ms": round(v * 1e3, 3)
+                      for k, v in bs1_meds.items()}
+    except Exception as e:  # bs=1 series must never kill the bench
+        log(f"bs=1 series failed: {e}")
+        bs1_series = {}
+    finally:
+        SCAN_ITERS = saved_iters
+
     # live gate path histogram on the eval stream (hard selections)
     @jax.jit
     def paths_of(v, r, d):
@@ -685,6 +715,7 @@ def main():
                     "routed_fp32_packed_fps": round(
                         BS / meds["routed_fp32_packed"], 1),
                     "routed_bf16_packed_fps": round(BS / tdp16, 1),
+                    **bs1_series,
                     # the honest same-dtype footnote: fusion-level routing
                     # vs dense at fp32 on the R34 flagship (<1: the
                     # skippable depth encoder costs less wall time than the

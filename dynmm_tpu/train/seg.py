@@ -349,8 +349,18 @@ class SegTrainer:
             targets = [jnp.asarray(batch["label"])] + [
                 jnp.asarray(batch["label_down"][r]) for r in DOWN_RATES
             ]
+            image, depth = batch["image"], batch["depth"]
+            if (cfg.packed_stem and image.shape[1] % 2 == 0
+                    and image.shape[2] % 2 == 0):
+                # gradients flow through the kernel re-tiling (_s2d_kernel
+                # is a linear scatter of conv1/kernel) and BN sees identical
+                # activations — the training math is unchanged
+                from dynmm_tpu.models.resnet import space_to_depth_host
+
+                image = space_to_depth_host(np.asarray(image))
+                depth = space_to_depth_host(np.asarray(depth))
             image, depth, *targets = self._maybe_shard_batch(
-                jnp.asarray(batch["image"]), jnp.asarray(batch["depth"]), *targets
+                jnp.asarray(image), jnp.asarray(depth), *targets
             )
             with self._mesh_ctx():
                 state, total, per_scale, loss_flop = step(

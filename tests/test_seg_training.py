@@ -111,6 +111,39 @@ class TestSegTrainerEndToEnd:
         miou_packed, _ = trainer_p.validate(state, valid_loader, run_seed=0)
         assert miou_packed["kv1"] == pytest.approx(miou_raw["kv1"], abs=1e-6)
 
+    def test_train_step_packed_stem_matches_raw(self):
+        """A training step on packed inputs must produce the same updated
+        params as the raw feed: the packed conv is the same linear map
+        (gradients flow through _s2d_kernel's scatter) and BN sees
+        identical activations, so grads/stats/updates coincide."""
+        import jax.numpy as jnp
+
+        from dynmm_tpu.models.resnet import space_to_depth_host
+
+        train_loader, _ = make_loaders()
+        model = SkipGateESANet(SMALL)
+        cfg = SegTrainConfig(epochs=1, lr=0.05, loss_ratio=1e-4, dynamic=True)
+        trainer = SegTrainer(model, cfg, np.ones(5, np.float32))
+        batch = next(iter(train_loader))
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        step = trainer._get_train_step((False, False, False))
+        targets = [jnp.asarray(batch["label"])] + [
+            jnp.asarray(batch["label_down"][r]) for r in (8, 16, 32)
+        ]
+        sub = jax.random.PRNGKey(7)
+        s_raw, *_ = step(state, jnp.asarray(batch["image"]),
+                         jnp.asarray(batch["depth"]), targets, 0.05, 1.0, sub)
+        s_pk, *_ = step(
+            state,
+            jnp.asarray(space_to_depth_host(np.asarray(batch["image"]))),
+            jnp.asarray(space_to_depth_host(np.asarray(batch["depth"]))),
+            targets, 0.05, 1.0, sub,
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(s_raw["params"]),
+                        jax.tree_util.tree_leaves(s_pk["params"])):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
     def test_noise_seeding_reproducible(self):
         train_loader, valid_loader = make_loaders()
         cfg = SegTrainConfig(dynamic=True, debug=True)

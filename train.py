@@ -91,6 +91,7 @@ def main():
         grad_accum=args.grad_accum,
         modality=args.modality,
         debug=args.debug,
+        packed_stem=args.packed_stem,
     )
     import jax
 
