@@ -117,23 +117,28 @@ class GlobalGate(nn.Module):
     @nn.compact
     def __call__(self, rgb, depth, temp: float = 1.0, hard: bool = False,
                  train: bool = False):
-        rgb = rgb.astype(jnp.float32)
-        depth = depth.astype(jnp.float32)
         c = rgb.shape[-1]
         p1 = _GateConvParams(2 * c, self.hidden_dim, name="conv1")
         kernel, bias = p1.kernel, p1.bias
+        # ≥ fp32 regardless of the model compute dtype (see docstring), but
+        # FOLLOW wider params: the float64 torch-parity tests cast the whole
+        # param tree to f64, and a hard f32 input cast would then feed
+        # mismatched dtypes into the split conv
+        gate_dtype = jnp.promote_types(jnp.float32, kernel.dtype)
+        rgb = rgb.astype(gate_dtype)
+        depth = depth.astype(gate_dtype)
 
         def conv5s2(inp, k):
             dn = jax.lax.conv_dimension_numbers(
                 inp.shape, k.shape, ("NHWC", "HWIO", "NHWC")
             )
             return jax.lax.conv_general_dilated(
-                inp, k, window_strides=(2, 2), padding=((0, 0), (0, 0)),
-                dimension_numbers=dn,
+                inp, k.astype(gate_dtype), window_strides=(2, 2),
+                padding=((0, 0), (0, 0)), dimension_numbers=dn,
             )
 
         x = conv5s2(rgb, kernel[:, :, :c]) + conv5s2(depth, kernel[:, :, c:])
-        x = x + bias
+        x = x + bias.astype(gate_dtype)
         x = TorchBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
             dtype=None, name="bn1",
