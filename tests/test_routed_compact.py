@@ -195,3 +195,32 @@ def test_gate_computes_fp32_in_bf16_model(setup):
     )
     assert w16.dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(w16), np.asarray(w32))
+
+
+def test_gate_follows_float64_params():
+    """Regression for the x64 torch-parity harness (test_torch_train_parity
+    casts the whole param tree to f64): the gate must compute in the WIDER
+    of fp32 and its param dtype, not hard-cast inputs to f32 (which fed an
+    f32 input / f64 kernel pair into the split first conv)."""
+    from jax import enable_x64
+
+    from dynmm_tpu.models.skip_gate import GlobalGate
+
+    g = GlobalGate()
+    rgb = jnp.ones((2, 16, 16, 8), jnp.float32)
+    depth = jnp.ones((2, 16, 16, 8), jnp.float32)
+    v = g.init(jax.random.PRNGKey(0), rgb, depth)
+    with enable_x64():
+        v64 = jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.float64), v
+        )
+        w64 = g.apply(v64, rgb.astype(jnp.float64),
+                      depth.astype(jnp.float64))
+        assert w64.dtype == jnp.float64
+        grads = jax.grad(
+            lambda p: g.apply(p, rgb.astype(jnp.float64),
+                              depth.astype(jnp.float64)).sum()
+        )(v64)
+        assert all(
+            leaf.dtype == jnp.float64 for leaf in jax.tree.leaves(grads)
+        )
