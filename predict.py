@@ -43,6 +43,15 @@ def main():
     parser.add_argument("--split", default="test")
     parser.add_argument("--out_dir", default="./preds")
     parser.add_argument("--num", type=int, default=0, help="limit sample count")
+    parser.add_argument(
+        "--serve_mode", default="batchmax",
+        choices=("batchmax", "dense", "compact", "switch"),
+        help="execution strategy (docs/DESIGN.md measured economics): "
+        "batchmax = batch-adaptive depth skipping; dense = static graph, "
+        "hard gate weights; compact = per-sample bucket compaction "
+        "(forward_routed_compact); switch = real per-stage skipping, "
+        "batch_size 1 only",
+    )
     args = parser.parse_args()
     args.dynamic = True
     args.global_gate = True
@@ -70,11 +79,27 @@ def main():
     variables = {"params": params, **model_state}
     print(f"Loaded checkpoint from {args.ckpt_path}")
 
-    fwd = jax.jit(
-        lambda v, r, d: model.apply(
-            v, r, d, return_weight=True, method=model.forward_switch_batched
+    if args.serve_mode == "switch" and args.batch_size != 1:
+        parser.error("--serve_mode switch requires --batch_size 1 "
+                     "(forward_switch routes the whole batch by sample 0)")
+    serve_method = {
+        "batchmax": model.forward_switch_batched,
+        "dense": None,  # __call__ with hard one-hot weights (bit-equal)
+        "compact": model.forward_routed_compact,
+        "switch": model.forward_switch,
+    }[args.serve_mode]
+    if serve_method is None:
+        fwd = jax.jit(
+            lambda v, r, d: model.apply(
+                v, r, d, train=False, hard=True, return_weight=True
+            )
         )
-    )
+    else:
+        fwd = jax.jit(
+            lambda v, r, d: model.apply(
+                v, r, d, return_weight=True, method=serve_method
+            )
+        )
 
     pack = (args.packed_stem and args.height % 2 == 0
             and args.width % 2 == 0)

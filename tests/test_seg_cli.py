@@ -148,6 +148,22 @@ def test_predict_cli(tmp_path):
     outs = os.listdir(tmp_path / "preds")
     assert len(outs) == 3
 
+    # every serve mode must produce byte-identical maps (all four
+    # execution strategies are bit-equal to dense hard eval by design)
+    for mode in ("compact", "dense"):
+        result = run_cli(
+            "predict.py",
+            TINY_FLAGS + ["--ckpt_path", ckpts[0], "--num", "3",
+                          "--serve_mode", mode,
+                          "--out_dir", str(tmp_path / f"preds_{mode}")],
+            tmp_path,
+        )
+        assert result.returncode == 0, result.stderr[-3000:]
+        for f in sorted(outs):
+            a = (tmp_path / "preds" / f).read_bytes()
+            b = (tmp_path / f"preds_{mode}" / f).read_bytes()
+            assert a == b, f"{mode} diverged on {f}"
+
 
 def _make_prepared_sunrgbd(root, n_per_cam=2, hw=(64, 64)):
     """Tiny SUNRGBD-prepared layout: 2 cameras, labels_37, native res hw."""
