@@ -295,8 +295,17 @@ def space_to_depth_host(x: np.ndarray) -> np.ndarray:
     7×7 form costs 413+156 µs, but the on-device transpose costs ~670 µs
     (tools/perf_bs1_opt.py traces). Host packing is a cache-friendly
     strided copy that belongs with resize/normalize in the data pipeline.
+
+    Uses the native OpenMP kernel when available (the single-threaded
+    numpy transpose costs ~23 ms for a bs=8 480×640 rgb+depth pair —
+    more than the 10.5 ms device step it feeds); falls back to numpy.
     """
     n, h, w, c = x.shape
+    if x.dtype == np.float32:
+        from dynmm_tpu import native
+
+        if native.lib() is not None:
+            return native.space_to_depth(x)
     x = x.reshape(n, h // 2, 2, w // 2, 2, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return np.ascontiguousarray(x.reshape(n, h // 2, w // 2, 4 * c))

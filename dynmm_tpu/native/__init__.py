@@ -53,6 +53,7 @@ def lib() -> Optional[ctypes.CDLL]:
         l.resize_nearest_i32.argtypes = [i32p] + [ctypes.c_int] * 3 + [i32p] + [ctypes.c_int] * 2
         l.normalize_rgb_f32.argtypes = [f32p, ctypes.c_int, ctypes.c_int, f32p, f32p, ctypes.c_int, f32p]
         l.normalize_depth_f32.argtypes = [f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_int, f32p]
+        l.space_to_depth_f32.argtypes = [f32p] + [ctypes.c_int] * 4 + [f32p]
         _lib = l
         return _lib
 
@@ -112,4 +113,19 @@ def normalize_depth(
         _fp(depth), h, w, float(mean), float(std), int(keep_zeros), int(flip),
         _fp(out),
     )
+    return out
+
+
+def space_to_depth(x: np.ndarray) -> np.ndarray:
+    """2×2 space-to-depth (N, H, W, C) → (N, H/2, W/2, 4C), channel order
+    (row parity, col parity, c) — layout-identical to
+    ``models.resnet.space_to_depth_host``'s numpy form, ~10× faster
+    (OpenMP)."""
+    l = lib()
+    assert l is not None
+    x = np.ascontiguousarray(x, np.float32)
+    n, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    out = np.empty((n, h // 2, w // 2, 4 * c), np.float32)
+    l.space_to_depth_f32(_fp(x), n, h, w, c, _fp(out))
     return out

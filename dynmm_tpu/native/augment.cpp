@@ -118,4 +118,35 @@ void normalize_depth_f32(const float* src, int h, int w, float mean,
   }
 }
 
+// ------------------------------------------------------- space-to-depth
+// 2x2 space-to-depth packing for the serving input pipeline: (N, H, W, C)
+// -> (N, H/2, W/2, 4C) with channel order (row parity, col parity, c),
+// layout-identical to models/resnet.py::space_to_depth_host (whose numpy
+// transpose costs ~23 ms for a bs=8 480x640 rgb+depth batch -- more than
+// the 10.5 ms device step it feeds). Memory-bound strided copy; parallel
+// over output rows.
+void space_to_depth_f32(const float* src, int n, int h, int w, int c,
+                        float* dst) {
+  const int oh = h / 2, ow = w / 2;
+  const int64_t in_img = static_cast<int64_t>(h) * w * c;
+  const int64_t out_img = static_cast<int64_t>(oh) * ow * 4 * c;
+#pragma omp parallel for schedule(static) collapse(2)
+  for (int img = 0; img < n; ++img) {
+    for (int y = 0; y < oh; ++y) {
+      const float* r0 = src + img * in_img + static_cast<int64_t>(2 * y) * w * c;
+      const float* r1 = r0 + static_cast<int64_t>(w) * c;
+      float* out = dst + img * out_img + static_cast<int64_t>(y) * ow * 4 * c;
+      for (int x = 0; x < ow; ++x) {
+        const float* p00 = r0 + static_cast<int64_t>(2 * x) * c;
+        float* o = out + static_cast<int64_t>(x) * 4 * c;
+        for (int ch = 0; ch < c; ++ch) o[ch] = p00[ch];
+        for (int ch = 0; ch < c; ++ch) o[c + ch] = p00[c + ch];
+        const float* p10 = r1 + static_cast<int64_t>(2 * x) * c;
+        for (int ch = 0; ch < c; ++ch) o[2 * c + ch] = p10[ch];
+        for (int ch = 0; ch < c; ++ch) o[3 * c + ch] = p10[c + ch];
+      }
+    }
+  }
+}
+
 }  // extern "C"

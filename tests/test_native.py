@@ -71,3 +71,30 @@ class TestNormalize:
         np.testing.assert_allclose(ours, [[0.0, 2.0], [0.0, 0.0]])
         ours2 = native.normalize_depth(depth, 1000.0, 500.0, keep_zeros=False)
         np.testing.assert_allclose(ours2, [[-2.0, 2.0], [0.0, -2.0]])
+
+
+class TestSpaceToDepth:
+    def test_matches_numpy_reference(self, nlib, rng):
+        """Native s2d must be layout-identical to the numpy transpose form
+        in models/resnet.py::space_to_depth_host (the packed-stem kernel
+        re-tiling depends on this exact (row parity, col parity, c)
+        channel order)."""
+        for n, h, w, c in ((1, 6, 8, 3), (2, 480, 64, 1), (3, 8, 10, 4)):
+            x = rng.standard_normal((n, h, w, c)).astype(np.float32)
+            ref = np.ascontiguousarray(
+                x.reshape(n, h // 2, 2, w // 2, 2, c)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(n, h // 2, w // 2, 4 * c)
+            )
+            np.testing.assert_array_equal(native.space_to_depth(x), ref)
+
+    def test_host_helper_uses_native(self, nlib, rng):
+        """space_to_depth_host routes float32 through the native kernel and
+        still equals the numpy fallback (non-f32 input exercises it)."""
+        from dynmm_tpu.models.resnet import space_to_depth_host
+
+        x = rng.standard_normal((2, 8, 12, 3)).astype(np.float32)
+        np.testing.assert_array_equal(
+            space_to_depth_host(x),
+            space_to_depth_host(x.astype(np.float64)).astype(np.float32),
+        )
