@@ -34,7 +34,7 @@ def run_cli(script, args, cwd):
     [
         ["--dynamic", "--global-gate", "--loss-ratio", "1e-4",
          "--temp", "1.0", "--end-temp", "0.001", "--epochs", "2",
-         "--eval-every", "1"],
+         "--eval-every", "1", "--packed_stem"],  # packed train+valid feed
         ["--epochs", "1", "--eval-every", "1"],  # static ESANet
         ["--dynamic", "--block-rule", "1122", "--epochs", "1",
          "--eval-every", "1"],                    # local-gate SkipESANet
