@@ -95,6 +95,31 @@ class TestSegTrainerEndToEnd:
         )
         assert set(miou_clean) == set(miou_noisy) == {"kv1"}
 
+    def test_grad_accum_steps_every_k_batches(self):
+        """cfg.grad_accum wraps the optimizer in optax.MultiSteps: the first
+        of every k batches only accumulates (params bit-identical), the
+        k-th applies the averaged update."""
+        train_loader, _ = make_loaders(n_train=2, batch=2)  # 1 batch/epoch
+        cfg = SegTrainConfig(epochs=2, lr=0.1, dynamic=True,
+                             loss_ratio=1e-4, grad_accum=2)
+        model = SkipGateESANet(SMALL)
+        trainer = SegTrainer(model, cfg, np.ones(5, np.float32))
+        state = trainer.init_state(
+            jax.random.PRNGKey(0), next(iter(train_loader))
+        )
+        p0 = jax.tree_util.tree_map(np.asarray, state["params"])
+        state, _ = trainer.train_one_epoch(state, train_loader, 0, 0.1, 1.0)
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(state["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        state, _ = trainer.train_one_epoch(state, train_loader, 1, 0.1, 1.0)
+        changed = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree_util.tree_leaves(p0),
+                            jax.tree_util.tree_leaves(state["params"]))
+        )
+        assert changed, "second accumulated batch must apply an update"
+
     def test_validate_packed_stem_matches_raw(self):
         """cfg.packed_stem host-packs the eval feed (space_to_depth_host);
         the mIoU must equal the raw-input validation exactly."""
