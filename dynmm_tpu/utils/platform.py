@@ -17,5 +17,8 @@ def maybe_force_cpu(n_devices: int | None = None) -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        if n_devices is None:
+            # virtual multi-device CPU runs (mesh CLIs under test)
+            n_devices = int(os.environ.get("DYNMM_CPU_DEVICES", "0")) or None
         if n_devices:
             jax.config.update("jax_num_cpu_devices", n_devices)

@@ -49,6 +49,26 @@ def test_train_cli(tmp_path, extra):
     assert glob.glob(str(tmp_path / "synthetic" / "*" / "logs.csv"))
 
 
+def test_train_cli_mesh(tmp_path):
+    """--mesh-data/--mesh-model drive the pjit mesh path through the real
+    CLI (8 virtual CPU devices via DYNMM_CPU_DEVICES; batch 4 = data axis)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["DYNMM_FORCE_CPU"] = "1"
+    env["DYNMM_CPU_DEVICES"] = "8"
+    flags = [f if f != "2" else "4" for f in TINY_FLAGS]  # batch_size 4
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py"), *flags,
+         "--dynamic", "--global-gate", "--epochs", "1", "--eval-every", "1",
+         "--mesh-data", "4", "--mesh-model", "2",
+         "--results_dir", str(tmp_path)],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    assert "Using device mesh" in result.stdout
+    assert "Training completed" in result.stdout
+
+
 def test_train_then_eval_roundtrip(tmp_path):
     result = run_cli(
         "train.py",
