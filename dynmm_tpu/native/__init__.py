@@ -119,8 +119,9 @@ def normalize_depth(
 def space_to_depth(x: np.ndarray) -> np.ndarray:
     """2×2 space-to-depth (N, H, W, C) → (N, H/2, W/2, 4C), channel order
     (row parity, col parity, c) — layout-identical to
-    ``models.resnet.space_to_depth_host``'s numpy form, ~10× faster
-    (OpenMP)."""
+    ``models.resnet.space_to_depth_host``'s numpy form. 2.5× faster than
+    the numpy transpose on a single core (copy-bandwidth-bound); OpenMP
+    scales it across cores on multi-core serving hosts."""
     l = lib()
     assert l is not None
     x = np.ascontiguousarray(x, np.float32)
