@@ -107,9 +107,18 @@ def prepare_data(args, with_input_orig: bool = False):
         depth_mode=depth_mode,
     )
     batch_valid = args.batch_size_valid or args.batch_size
+    # --packed_stem: space-to-depth pack in the prefetch thread so the
+    # host copy overlaps the device step (validation keeps loop-side
+    # packing — eval noise must be injected on the RAW layout first so
+    # seeded noise draws are identical with and without packing)
+    post = None
+    if getattr(args, "packed_stem", False):
+        from dynmm_tpu.data.seg_preprocessing import pack_stem_batch
+
+        post = pack_stem_batch
     train_loader = SegLoader(
         train_ds, train_pre, batch_size=args.batch_size, shuffle=True,
-        drop_last=True,
+        drop_last=True, post=post,
     )
     valid_loader = SegLoader(valid_ds, valid_pre, batch_size=batch_valid)
     if getattr(args, "valid_full_res", False):

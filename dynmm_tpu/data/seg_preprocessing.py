@@ -205,6 +205,26 @@ def inject_eval_noise(
     return image, depth
 
 
+def pack_stem_batch(batch: dict) -> dict:
+    """Apply host space-to-depth stem packing to a stacked batch dict:
+    raw rgb (C=3) and depth (C=1) with even H/W become their packed
+    ``(N, H/2, W/2, 4C)`` forms (``resnet.space_to_depth_host``, native
+    kernel when built). Channel-guarded, so applying it to an
+    already-packed batch is a no-op — the train/eval loops use the same
+    guard and therefore never double-pack. Meant as a ``SegLoader``
+    ``post=`` hook: packing then runs in the prefetch thread, overlapped
+    with the device step, instead of synchronously in the step loop."""
+    from dynmm_tpu.models.resnet import space_to_depth_host
+
+    out = dict(batch)
+    for key, raw_c in (("image", 3), ("depth", 1)):
+        x = batch.get(key)
+        if (x is not None and x.ndim == 4 and x.shape[-1] == raw_c
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            out[key] = space_to_depth_host(np.asarray(x))
+    return out
+
+
 class SegLoader:
     """Batched loader over a map-style RGB-D dataset + preprocessor.
 
@@ -212,6 +232,10 @@ class SegLoader:
     the ragged tail; eval keeps order with batch size 1..n (label_orig may
     vary in size across datasets, so eval batches group same-shape samples —
     NYUv2 is uniform 480×640 so any batch size works).
+
+    ``post`` (optional) transforms each stacked batch dict inside the
+    prefetch thread (e.g. ``pack_stem_batch``), overlapping host-side work
+    with device compute.
     """
 
     def __init__(
@@ -223,6 +247,7 @@ class SegLoader:
         drop_last: bool = False,
         seed: int = 0,
         prefetch: int = 2,
+        post=None,
     ):
         self.dataset = dataset
         self.pre = preprocessor
@@ -230,6 +255,7 @@ class SegLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.post = post
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -240,7 +266,8 @@ class SegLoader:
 
     def _make_batch(self, idx):
         samples = [self.pre(self.dataset[int(i)], self._rng) for i in idx]
-        return self._stack(samples)
+        batch = self._stack(samples)
+        return self.post(batch) if self.post is not None else batch
 
     def __iter__(self):
         n = len(self.dataset)

@@ -350,9 +350,12 @@ class SegTrainer:
                 jnp.asarray(batch["label_down"][r]) for r in DOWN_RATES
             ]
             image, depth = batch["image"], batch["depth"]
-            if (cfg.packed_stem and image.shape[1] % 2 == 0
-                    and image.shape[2] % 2 == 0):
-                # gradients flow through the kernel re-tiling (_s2d_kernel
+            if (cfg.packed_stem and image.shape[-1] == 3
+                    and image.shape[1] % 2 == 0 and image.shape[2] % 2 == 0):
+                # raw-layout guard (C==3): loaders built by prepare_data
+                # already pack in their prefetch thread (pack_stem_batch);
+                # this in-loop fallback covers direct-engine callers.
+                # Gradients flow through the kernel re-tiling (_s2d_kernel
                 # is a linear scatter of conv1/kernel) and BN sees identical
                 # activations — the training math is unchanged
                 from dynmm_tpu.models.resnet import space_to_depth_host
@@ -460,8 +463,10 @@ class SegTrainer:
                 )
             label_orig = batch.get("label_orig", batch.get("label"))
             out_h, out_w = label_orig.shape[1], label_orig.shape[2]
-            if (cfg.packed_stem and image.shape[1] % 2 == 0
-                    and image.shape[2] % 2 == 0):
+            if (cfg.packed_stem and image.shape[-1] == 3
+                    and image.shape[1] % 2 == 0 and image.shape[2] % 2 == 0):
+                # packing AFTER noise injection keeps seeded noise draws
+                # identical with and without --packed_stem (raw layout)
                 from dynmm_tpu.models.resnet import space_to_depth_host
 
                 image = space_to_depth_host(np.asarray(image))

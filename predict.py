@@ -62,7 +62,13 @@ def main():
         getattr(ds, "depth_mean", 0.0), getattr(ds, "depth_std", 1.0),
         args.height, args.width, phase="test",
     )
-    loader = SegLoader(ds, pre, batch_size=args.batch_size)
+    post = None
+    if (args.packed_stem and args.height % 2 == 0 and args.width % 2 == 0):
+        # pack in the prefetch thread (overlapped with the device step)
+        from dynmm_tpu.data.seg_preprocessing import pack_stem_batch
+
+        post = pack_stem_batch
+    loader = SegLoader(ds, pre, batch_size=args.batch_size, post=post)
     model = build_model(args, n_classes)
 
     sample = next(iter(loader))
@@ -101,11 +107,6 @@ def main():
             )
         )
 
-    pack = (args.packed_stem and args.height % 2 == 0
-            and args.width % 2 == 0)
-    if pack:
-        from dynmm_tpu.models.resnet import space_to_depth_host
-
     colors = class_colors(n_classes + 1)
     os.makedirs(args.out_dir, exist_ok=True)
     stats = GateStats()
@@ -113,9 +114,6 @@ def main():
     for batch in loader:
         t0 = time.perf_counter()
         image, depth = batch["image"], batch["depth"]
-        if pack:
-            image = space_to_depth_host(np.asarray(image))
-            depth = space_to_depth_host(np.asarray(depth))
         logits, weight = fwd(
             variables, jnp.asarray(image), jnp.asarray(depth)
         )

@@ -169,20 +169,23 @@ def test_predict_cli(tmp_path):
     assert len(outs) == 3
 
     # every serve mode must produce byte-identical maps (all four
-    # execution strategies are bit-equal to dense hard eval by design)
-    for mode in ("compact", "dense"):
+    # execution strategies are bit-equal to dense hard eval by design);
+    # --packed_stem (loader-thread space-to-depth packing) likewise
+    for mode, extra in (("compact", []), ("dense", []),
+                        ("batchmax", ["--packed_stem"])):
+        tag = mode + ("_packed" if extra else "")
         result = run_cli(
             "predict.py",
             TINY_FLAGS + ["--ckpt_path", ckpts[0], "--num", "3",
-                          "--serve_mode", mode,
-                          "--out_dir", str(tmp_path / f"preds_{mode}")],
+                          "--serve_mode", mode, *extra,
+                          "--out_dir", str(tmp_path / f"preds_{tag}")],
             tmp_path,
         )
         assert result.returncode == 0, result.stderr[-3000:]
         for f in sorted(outs):
             a = (tmp_path / "preds" / f).read_bytes()
-            b = (tmp_path / f"preds_{mode}" / f).read_bytes()
-            assert a == b, f"{mode} diverged on {f}"
+            b = (tmp_path / f"preds_{tag}" / f).read_bytes()
+            assert a == b, f"{tag} diverged on {f}"
 
 
 def _make_prepared_sunrgbd(root, n_per_cam=2, hw=(64, 64)):
