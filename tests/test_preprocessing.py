@@ -120,3 +120,42 @@ class TestEvalNoise:
                 deltas.append(np.std(im2 - image))
         # std of injected noise ≈ noise * mean|x| = 0.5 * 10
         assert 3.5 < np.mean(deltas) < 6.5
+
+
+class TestPackStemBatch:
+    """pack_stem_batch (SegLoader post hook): channel-guarded s2d packing."""
+
+    def test_packs_raw_and_is_noop_on_packed(self):
+        from dynmm_tpu.data.seg_preprocessing import pack_stem_batch
+        from dynmm_tpu.models.resnet import space_to_depth_host
+
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": rng.standard_normal((2, 8, 12, 3)).astype(np.float32),
+            "depth": rng.standard_normal((2, 8, 12, 1)).astype(np.float32),
+            "label": rng.integers(0, 5, (2, 8, 12)).astype(np.int32),
+        }
+        packed = pack_stem_batch(batch)
+        np.testing.assert_array_equal(
+            packed["image"], space_to_depth_host(batch["image"])
+        )
+        np.testing.assert_array_equal(
+            packed["depth"], space_to_depth_host(batch["depth"])
+        )
+        np.testing.assert_array_equal(packed["label"], batch["label"])
+        # idempotent: packed channels (12/4) fail the raw C==3/1 guard
+        again = pack_stem_batch(packed)
+        np.testing.assert_array_equal(again["image"], packed["image"])
+        np.testing.assert_array_equal(again["depth"], packed["depth"])
+
+    def test_odd_dims_untouched(self):
+        from dynmm_tpu.data.seg_preprocessing import pack_stem_batch
+
+        rng = np.random.default_rng(1)
+        batch = {
+            "image": rng.standard_normal((1, 7, 12, 3)).astype(np.float32),
+            "depth": rng.standard_normal((1, 7, 12, 1)).astype(np.float32),
+        }
+        out = pack_stem_batch(batch)
+        np.testing.assert_array_equal(out["image"], batch["image"])
+        np.testing.assert_array_equal(out["depth"], batch["depth"])
