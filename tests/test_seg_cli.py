@@ -49,6 +49,33 @@ def test_train_cli(tmp_path, extra):
     assert glob.glob(str(tmp_path / "synthetic" / "*" / "logs.csv"))
 
 
+def test_train_cli_resume_last_ckpt(tmp_path):
+    """--last_ckpt resumes epoch counting and optimizer state through the
+    real CLI (reference: train.py:131-137 → utils.load_ckpt)."""
+    flags = ["--dynamic", "--global-gate", "--epochs", "2",
+             "--eval-every", "1", "--save-every", "1"]
+    result = run_cli(
+        "train.py", TINY_FLAGS + flags + ["--results_dir", str(tmp_path)],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    resumes = glob.glob(
+        str(tmp_path / "synthetic" / "*" / "ckpt_latest.msgpack")
+    ) or glob.glob(str(tmp_path / "synthetic" / "*" / "ckpt_epoch_*.msgpack"))
+    assert resumes, "resume checkpoint must exist"
+
+    result = run_cli(
+        "train.py",
+        TINY_FLAGS + ["--dynamic", "--global-gate", "--epochs", "3",
+                      "--eval-every", "1", "--last_ckpt", resumes[-1],
+                      "--results_dir", str(tmp_path / "resumed")],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    assert "loaded checkpoint" in result.stdout
+    assert "Training completed" in result.stdout
+
+
 def test_train_cli_mesh(tmp_path):
     """--mesh-data/--mesh-model drive the pjit mesh path through the real
     CLI (8 virtual CPU devices via DYNMM_CPU_DEVICES; batch 4 = data axis)."""
