@@ -44,6 +44,12 @@ def main():
     parser.add_argument("--out_dir", default="./preds")
     parser.add_argument("--num", type=int, default=0, help="limit sample count")
     parser.add_argument(
+        "--export_path", default="",
+        help="serialize the serving forward (weights baked in) to this "
+        "path as a StableHLO artifact (jax.export) and exit — the "
+        "TPU-native deploy analogue of the reference's ONNX export patches",
+    )
+    parser.add_argument(
         "--serve_mode", default="batchmax",
         choices=("batchmax", "dense", "compact", "switch"),
         help="execution strategy (docs/DESIGN.md measured economics): "
@@ -106,6 +112,28 @@ def main():
                 v, r, d, return_weight=True, method=serve_method
             )
         )
+
+    if args.export_path:
+        from dynmm_tpu.utils.serve_export import (export_serving_fn,
+                                                  save_serving_artifact)
+
+        h, w = args.height, args.width
+        if post is not None:  # packed serving artifact expects packed feed
+            h, w = h // 2, w // 2
+            rgb_shape = (args.batch_size, h, w, 12)
+            depth_shape = (args.batch_size, h, w, 4)
+        else:
+            rgb_shape = (args.batch_size, h, w, 3)
+            depth_shape = (args.batch_size, h, w, 1)
+        payload = export_serving_fn(
+            lambda v, r, d: fwd(v, r, d)[0], variables,
+            rgb_shape, depth_shape,
+        )
+        save_serving_artifact(args.export_path, payload)
+        print(f"exported serving artifact ({len(payload)} bytes, "
+              f"mode={args.serve_mode}, rgb={rgb_shape}) to "
+              f"{args.export_path}")
+        return
 
     colors = class_colors(n_classes + 1)
     os.makedirs(args.out_dir, exist_ok=True)

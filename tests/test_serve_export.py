@@ -1,0 +1,49 @@
+"""StableHLO serving-artifact export (utils/serve_export.py): the TPU-native
+deploy analogue of the reference's ONNX export patches (SURVEY §2.2
+external_code/). Round-trip: export with baked weights → deserialize →
+outputs match the live model (to recompilation-level float noise — the
+artifact's graph is re-optimized at load, so last-ulp differences are
+expected; class maps must be identical)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dynmm_tpu.models.esanet import ESANetConfig
+from dynmm_tpu.models.skip_gate import SkipGateESANet
+from dynmm_tpu.utils.serve_export import (export_serving_fn, load_serving_fn,
+                                          save_serving_artifact)
+
+CFG = ESANetConfig(
+    height=64, width=64, num_classes=5,
+    encoder_rgb="resnet18", encoder_depth="resnet18",
+    encoder_block="BasicBlock",
+    channels_decoder=(32, 32, 32), nr_decoder_blocks=(1, 1, 1),
+    fuse_depth_in_rgb_encoder="SE-add", context_module="None",
+    upsampling="bilinear",
+)
+
+
+def test_export_roundtrip_matches_live_model(tmp_path):
+    model = SkipGateESANet(CFG)
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    depth = jnp.asarray(rng.standard_normal((2, 64, 64, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), rgb, depth, train=False)
+
+    def apply_fn(v, r, d):
+        return model.apply(v, r, d, train=False, hard=True)
+
+    payload = export_serving_fn(
+        apply_fn, variables, rgb.shape, depth.shape
+    )
+    path = tmp_path / "serving.stablehlo"
+    save_serving_artifact(str(path), payload)
+    assert path.stat().st_size > 1000
+
+    fn = load_serving_fn(str(path))
+    got = np.asarray(fn(rgb, depth))
+    want = np.asarray(apply_fn(variables, rgb, depth))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
