@@ -50,6 +50,12 @@ def main():
         "TPU-native deploy analogue of the reference's ONNX export patches",
     )
     parser.add_argument(
+        "--export_platforms", default="",
+        help="comma-separated jax.export platforms for --export_path "
+        "(e.g. 'tpu,cpu' builds a TPU-servable artifact from a CPU "
+        "host); default: the current backend only",
+    )
+    parser.add_argument(
         "--serve_mode", default="batchmax",
         choices=("batchmax", "dense", "compact", "switch"),
         help="execution strategy (docs/DESIGN.md measured economics): "
@@ -125,9 +131,12 @@ def main():
         else:
             rgb_shape = (args.batch_size, h, w, 3)
             depth_shape = (args.batch_size, h, w, 1)
+        platforms = tuple(
+            p for p in args.export_platforms.split(",") if p
+        ) or None
         payload = export_serving_fn(
             lambda v, r, d: fwd(v, r, d)[0], variables,
-            rgb_shape, depth_shape,
+            rgb_shape, depth_shape, platforms=platforms,
         )
         save_serving_artifact(args.export_path, payload)
         print(f"exported serving artifact ({len(payload)} bytes, "

@@ -47,3 +47,16 @@ def test_export_roundtrip_matches_live_model(tmp_path):
     want = np.asarray(apply_fn(variables, rgb, depth))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+    # multi-platform artifact (tpu+cpu) exports from a CPU-only host and
+    # still replays on cpu — the cross-compile deploy path
+    payload2 = export_serving_fn(
+        apply_fn, variables, rgb.shape, depth.shape,
+        platforms=("cpu", "tpu"),
+    )
+    path2 = tmp_path / "serving_xplat.stablehlo"
+    save_serving_artifact(str(path2), payload2)
+    fn2 = load_serving_fn(str(path2))
+    np.testing.assert_array_equal(
+        np.asarray(fn2(rgb, depth)).argmax(-1), want.argmax(-1)
+    )
