@@ -23,14 +23,16 @@ import numpy as np
 def export_serving_fn(
     apply_fn: Callable,
     variables,
-    rgb_shape: Sequence[int],
-    depth_shape: Sequence[int],
+    *arg_shapes: Sequence[int],
     dtype=None,
     platforms: Optional[Sequence[str]] = None,
 ) -> bytes:
-    """Serialize ``apply_fn(variables, rgb, depth)`` with ``variables``
-    baked in, traced at the given input shapes.
+    """Serialize ``apply_fn(variables, *inputs)`` with ``variables`` baked
+    in, traced at the given input shapes (one positional shape per model
+    input — ``(rgb, depth)`` for the seg stack, ``(text, image)`` /
+    ``(vision, audio, text)`` for the modality routers).
 
+    ``dtype`` is one dtype for all inputs or a sequence per input.
     ``platforms`` defaults to the current backend; pass e.g.
     ``("tpu", "cpu")`` for a multi-platform artifact.
     """
@@ -38,11 +40,13 @@ def export_serving_fn(
     import jax.numpy as jnp
     from jax import export as jexport
 
-    dtype = dtype or jnp.float32
-    fn = jax.jit(lambda r, d: apply_fn(variables, r, d))
-    args = (
-        jax.ShapeDtypeStruct(tuple(rgb_shape), dtype),
-        jax.ShapeDtypeStruct(tuple(depth_shape), dtype),
+    dtypes = (
+        dtype if isinstance(dtype, (list, tuple))
+        else [dtype or jnp.float32] * len(arg_shapes)
+    )
+    fn = jax.jit(lambda *inputs: apply_fn(variables, *inputs))
+    args = tuple(
+        jax.ShapeDtypeStruct(tuple(s), d) for s, d in zip(arg_shapes, dtypes)
     )
     kwargs = {"platforms": tuple(platforms)} if platforms else {}
     exported = jexport.export(fn, **kwargs)(*args)
@@ -55,14 +59,14 @@ def save_serving_artifact(path: str, payload: bytes) -> None:
 
 
 def load_serving_fn(path: str) -> Callable:
-    """Deserialize an artifact; returns ``fn(rgb, depth)``."""
+    """Deserialize an artifact; returns ``fn(*inputs)``."""
     from jax import export as jexport
 
     with open(path, "rb") as f:
         exported = jexport.deserialize(bytearray(f.read()))
 
-    def fn(rgb, depth):
-        return exported.call(rgb, depth)
+    def fn(*inputs):
+        return exported.call(*inputs)
 
     fn.in_avals = exported.in_avals
     return fn

@@ -60,3 +60,33 @@ def test_export_roundtrip_matches_live_model(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(fn2(rgb, depth)).argmax(-1), want.argmax(-1)
     )
+
+
+def test_export_modality_router(tmp_path):
+    """Generic arity: the IMDB 2-branch router (text 300-d, image 4096-d
+    inputs) exports and replays with identical branch outputs."""
+    from dynmm_tpu.models.modality.imdb import IMDBDynMMNet
+
+    model = IMDBDynMMNet(dropout_rate=0.0)
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.standard_normal((4, 300)).astype(np.float32))
+    image = jnp.asarray(rng.standard_normal((4, 4096)).astype(np.float32))
+    variables = model.init(
+        jax.random.PRNGKey(0), [text, image], train=False
+    )
+
+    def apply_fn(v, t, i):
+        out, _, _ = model.apply(v, [t, i], hard=True, train=False)
+        return out
+
+    payload = export_serving_fn(
+        apply_fn, variables, text.shape, image.shape
+    )
+    path = tmp_path / "imdb.stablehlo"
+    save_serving_artifact(str(path), payload)
+    fn = load_serving_fn(str(path))
+    np.testing.assert_allclose(
+        np.asarray(fn(text, image)),
+        np.asarray(apply_fn(variables, text, image)),
+        rtol=1e-5, atol=1e-6,
+    )
