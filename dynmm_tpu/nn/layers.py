@@ -521,6 +521,43 @@ def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     return jax.image.resize(x, (n, out_hw[0], out_hw[1], c), method="linear")
 
 
+def first_argmax(x: jax.Array, axis: int = -1) -> jax.Array:
+    """``jnp.argmax`` (first-max tie-break) lowered as two plain max-reduces
+    instead of XLA's variadic argmax reduce.
+
+    On v5e the variadic reduce over the channel (lane) axis of the bs=8
+    480×640×40 logits map costs +16.3 ms inside the serving graph while
+    this two-pass form costs +3.6 ms, and an ``optimization_barrier`` does
+    NOT close the gap — it is the variadic reduce itself, not a fusion
+    artifact (tools/perf_argmax_net.py, interleaved medians). Used by the
+    eval step and predict.py class-map extraction, matching the reference's
+    ``torch.argmax`` post-processing (``FusionDynMM/eval.py``) bit-exactly,
+    including first-index ties: the second pass maxes a *reversed* iota
+    masked to the max hits, so the earliest hit carries the largest value.
+
+    Falls back to ``jnp.argmax`` when the axis length is not exactly
+    representable in ``x.dtype`` (the mask·iota product must be lossless:
+    bf16 → ≤256 classes, f32 → ≤2²⁴). NaN inputs differ from ``jnp.argmax``
+    (no hits → returns the last index); segmentation logits are NaN-free
+    (the trainer's NaN guard enforces this upstream).
+    """
+    c = x.shape[axis]
+    limit = {
+        jnp.dtype(jnp.bfloat16): 256,
+        jnp.dtype(jnp.float16): 2048,
+        jnp.dtype(jnp.float32): 1 << 24,
+        jnp.dtype(jnp.float64): 1 << 53,
+    }.get(jnp.dtype(x.dtype))
+    if limit is None or c > limit:
+        return jnp.argmax(x, axis=axis).astype(jnp.int32)
+    m = jnp.max(x, axis=axis, keepdims=True)
+    shape = [1] * x.ndim
+    shape[axis] = c
+    rev_iota = jnp.arange(c - 1, -1, -1, dtype=x.dtype).reshape(shape)
+    hit = (x >= m).astype(x.dtype) * rev_iota
+    return ((c - 1) - jnp.max(hit, axis=axis)).astype(jnp.int32)
+
+
 class _DepthwiseParams(nn.Module):
     """Param holder for a depthwise 3×3 conv ((3,3,1,C) kernel + bias),
     layout-identical to ``nn.Conv(feature_group_count=C)`` for checkpoint

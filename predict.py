@@ -32,6 +32,7 @@ def main():
     from dynmm_tpu.data.nyuv2 import class_colors
     from dynmm_tpu.data.seg_preprocessing import SegLoader, SegPreprocessor
     from dynmm_tpu.models.skip_gate import flop_table
+    from dynmm_tpu.nn.layers import first_argmax
     from dynmm_tpu.utils.torch_import import load_any_checkpoint
 
     parser = ArgumentParserRGBDSegmentation(
@@ -154,7 +155,10 @@ def main():
         logits, weight = fwd(
             variables, jnp.asarray(image), jnp.asarray(depth)
         )
-        pred = np.asarray(jnp.argmax(logits, axis=-1))
+        # first_argmax: the variadic argmax reduce costs +16.3 ms on the
+        # bs=8 logits map in-graph vs +3.6 ms for this form
+        # (tools/perf_argmax_net.py); same extraction as the eval step
+        pred = np.asarray(first_argmax(logits, axis=-1))
         t_model += time.perf_counter() - t0
         stats.append(weight)
         for img in pred:

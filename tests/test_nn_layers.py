@@ -179,3 +179,54 @@ class TestUpsampleLearned3x3:
         ).repeat(2, 1, 1, 1)
         ref = F.conv2d(tx, w, padding=0, groups=2).numpy()
         np.testing.assert_allclose(from_nhwc(out), ref, rtol=1e-4, atol=1e-5)
+
+
+class TestFirstArgmax:
+    """first_argmax must be a drop-in jnp.argmax (first-max tie-break) —
+    it backs the eval-step / predict.py class-map extraction
+    (perf_argmax_net.py: variadic reduce +16.3 ms vs this form +3.6 ms)."""
+
+    def test_matches_argmax_random(self, rng):
+        from dynmm_tpu.nn.layers import first_argmax
+
+        x = rng.standard_normal((3, 7, 9, 40)).astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(first_argmax(jnp.asarray(x))),
+            np.argmax(x, axis=-1),
+        )
+
+    def test_first_index_ties(self, rng):
+        from dynmm_tpu.nn.layers import first_argmax
+
+        # quantize hard so duplicated maxima are common, plus crafted rows
+        x = np.round(rng.standard_normal((64, 13)) * 2) / 2
+        x[0] = 0.0                           # all-tie -> index 0
+        x[1] = [1, 5, 3, 5, 5, 0, 5, 1, 2, 5, 4, 5, 5]  # scattered ties
+        x[2, ::3] = x[2].max() + 1           # periodic ties
+        x = x.astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(first_argmax(jnp.asarray(x))),
+            np.argmax(x, axis=-1),
+        )
+
+    def test_bf16_and_axis(self, rng):
+        from dynmm_tpu.nn.layers import first_argmax
+
+        x = rng.standard_normal((5, 40, 6)).astype(np.float32)
+        x16 = jnp.asarray(x, dtype=jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(first_argmax(x16, axis=1)),
+            np.argmax(np.asarray(x16).astype(np.float32), axis=1),
+        )
+        assert first_argmax(x16, axis=1).dtype == jnp.int32
+
+    def test_fallback_large_axis(self, rng):
+        from dynmm_tpu.nn.layers import first_argmax
+
+        # 300 > bf16's 256-integer representability limit -> jnp.argmax path
+        x16 = jnp.asarray(rng.standard_normal((4, 300)), dtype=jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(first_argmax(x16)),
+            np.argmax(np.asarray(x16).astype(np.float32), axis=-1),
+        )
+        assert first_argmax(x16).dtype == jnp.int32

@@ -11,9 +11,16 @@ perf_argmax.py). Candidates, interleaved:
   am_trick    net -> max/compare/iota extraction (no variadic reduce)
   eval_like   net -> (logits, argmax(resize(logits, full)))  [train/seg.py:328]
 
-If am_barrier is fast, the fix is a one-line barrier before the argmax in
-the eval/predict paths (reference post-processing: FusionDynMM/eval.py
-argmax chain).
+RESOLVED (2026-08-18, anchor fp32 159 TFLOP/s): base 10.06, am_only
+26.41, am_both 23.37, am_barrier 23.35, am_trick 13.64, eval_like 23.21.
+The barrier does NOT help → the +16.3 ms is the variadic argmax reduce
+itself, not a fusion/rematerialization artifact; the max/compare/iota
+form costs +3.6 ms and ships as ``nn.layers.first_argmax`` in the eval
+step and predict.py (reference post-processing: FusionDynMM/eval.py
+argmax chain). Note the earlier "standalone argmax = 0.3 ms"
+(perf_argmax.py) is DCE-suspect: its probe reads only out[0,0,0], which
+XLA can narrow through a standalone reduce but evidently not through
+the net-producing graph here.
 """
 
 import json as js
@@ -40,7 +47,7 @@ def main():
 
     from __graft_entry__ import _flagship
     from dynmm_tpu.models.resnet import space_to_depth_host
-    from dynmm_tpu.nn.layers import resize_bilinear
+    from dynmm_tpu.nn.layers import first_argmax, resize_bilinear
 
     h, w = 480, 640
     model16 = _flagship(h, w, dtype=jnp.bfloat16)
@@ -86,6 +93,12 @@ def main():
             lambda v, r, d: (lambda o: (
                 jnp.argmax(resize_bilinear(o, (h, w)), -1).astype(jnp.float32)
                 + o[0, 0, 0, 0]
+            ))(net(v, r, d))),
+        # the shipped fix: nn.layers.first_argmax on the real eval chain
+        "eval_like_trick": make_scan_bench(
+            lambda v, r, d: (lambda o: (
+                first_argmax(resize_bilinear(o, (h, w)), -1
+                             ).astype(jnp.float32) + o[0, 0, 0, 0]
             ))(net(v, r, d))),
     }
     args = (variables, rgb_p, depth_p)
