@@ -129,7 +129,7 @@ class Decoder(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, enc_outs, train: bool = False):
+    def __call__(self, enc_outs, train: bool = False, low_res: bool = False):
         enc_out, skip_16, skip_8, skip_4 = enc_outs
         out, down_32 = DecoderModule(
             self.channels_decoder[0], self.nr_decoder_blocks[0], self.num_classes,
@@ -150,6 +150,17 @@ class Decoder(nn.Module):
         out = torch_conv(
             self.num_classes, 3, padding=1, dtype=self.dtype, name="conv_out"
         )(out)
+        if low_res and not train:
+            # Serving fast path: return the H/4 logits and skip the two
+            # 40-channel ×2 learned upsamples — the tail's dominant HBM
+            # traffic (the bs=8 480×640 fp32 full-res logits map alone is
+            # 196 MB). The caller argmaxes at H/4 and nearest-upsamples the
+            # tiny uint8 class map on the host (predict.py --output_res
+            # quarter). Eval/train keep full resolution (mIoU parity with
+            # the reference's model.py:299-308 upsample-then-score chain).
+            # NOTE: only valid on variables initialized with the default
+            # full-res graph (upsample1/2 params exist but go unused).
+            return out
         out = Upsample(
             mode=self.upsampling_mode, channels=self.num_classes, dtype=self.dtype,
             use_pallas=self.use_pallas, name="upsample1",
@@ -256,14 +267,16 @@ class _DualEncoderParts(nn.Module):
         layer = getattr(self, f"skip_layer{idx}")
         return fused if layer is None else layer(fused, train)
 
-    def head(self, fused, skips, train: bool):
+    def head(self, fused, skips, train: bool, low_res: bool = False):
         """Context module + decoder over the stage-4 fusion and skips 3..1."""
         out = (
             self.context_module(fused, train)
             if self.context_module is not None
             else fused
         )
-        return self.decoder([out, skips[2], skips[1], skips[0]], train)
+        return self.decoder(
+            [out, skips[2], skips[1], skips[0]], train, low_res=low_res
+        )
 
 
 class ESANet(_DualEncoderParts):
@@ -273,7 +286,7 @@ class ESANet(_DualEncoderParts):
     tree under torch-like names (encoder_rgb, se_layer0.., decoder, ...).
     """
 
-    def __call__(self, rgb, depth, train: bool = False):
+    def __call__(self, rgb, depth, train: bool = False, low_res: bool = False):
         p = self
         rgb = p.encoder_rgb.stem(rgb, train)
         depth = p.encoder_depth.stem(depth, train)
@@ -292,4 +305,4 @@ class ESANet(_DualEncoderParts):
             if i < 4:
                 skips.append(p.skip(i, fused, train))
                 rgb = fused
-        return p.head(fused, skips, train)
+        return p.head(fused, skips, train, low_res=low_res)

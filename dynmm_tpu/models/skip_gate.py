@@ -234,6 +234,7 @@ class SkipGateESANet(_DualEncoderParts):
         ini_stage: bool = False,
         rng: Optional[jax.Array] = None,
         return_weight: bool = False,
+        low_res: bool = False,
     ):
         """Dense forward: both branches computed per block, mixed by the
         cumulative gate weights. Returns ``(pred, resource_loss)`` in train
@@ -259,7 +260,7 @@ class SkipGateESANet(_DualEncoderParts):
         depth = self.encoder_depth.layer4(depth, train)
         fused = self._fuse_mixed(4, rgb, depth, 1.0 - weight[:, 4])
 
-        out = self.head(fused, skips, train)
+        out = self.head(fused, skips, train, low_res=low_res)
 
         if train:
             table = jnp.asarray(
@@ -280,6 +281,7 @@ class SkipGateESANet(_DualEncoderParts):
         baseline: bool = False,
         return_weight: bool = False,
         force_path: Optional[int] = None,
+        low_res: bool = False,
     ):
         """Hard-gate batched inference with batch-adaptive depth skipping.
 
@@ -338,7 +340,7 @@ class SkipGateESANet(_DualEncoderParts):
         fused = jax.lax.cond(
             k_max >= 4, fuse_4, lambda ops: ops[0], (r, depth, weight)
         )
-        out = self.head(fused, skips, train)
+        out = self.head(fused, skips, train, low_res=low_res)
         if return_weight:
             return out, weight
         return out
@@ -352,6 +354,7 @@ class SkipGateESANet(_DualEncoderParts):
         baseline: bool = False,
         return_weight: bool = False,
         caps: Optional[tuple] = None,
+        low_res: bool = False,
     ):
         """Hard-gate batched inference with PER-SAMPLE depth skipping.
 
@@ -457,7 +460,7 @@ class SkipGateESANet(_DualEncoderParts):
             skips.append(self.skip(i, fused, train))
         rgb4 = self.encoder_rgb.layer4(fused, train)
         fused, _ = prefix_depth_fuse(4, depth_buf, rgb4)
-        out = self.head(fused, skips, train)  # already in caller order
+        out = self.head(fused, skips, train, low_res=low_res)  # caller order
         if return_weight:
             return out, weight
         return out
@@ -498,6 +501,7 @@ class SkipGateESANet(_DualEncoderParts):
         baseline: bool = False,
         return_weight: bool = False,
         force_path: Optional[int] = None,
+        low_res: bool = False,
     ):
         """Hard-gate inference with *real* compute skipping via
         ``jax.lax.switch`` over 5 path subgraphs (eval only; depth stages
@@ -554,7 +558,7 @@ class SkipGateESANet(_DualEncoderParts):
             return self.fuse(4, r, d)
 
         fused = jax.lax.cond(k >= 4, fuse_4, lambda ops: ops[0], (r, depth))
-        out = self.head(fused, skips, train)
+        out = self.head(fused, skips, train, low_res=low_res)
         if return_weight:
             return out, weight
         return out

@@ -65,6 +65,15 @@ def main():
         "(forward_routed_compact); switch = real per-stage skipping, "
         "batch_size 1 only",
     )
+    parser.add_argument(
+        "--output_res", default="full", choices=("full", "quarter"),
+        help="'quarter' serves the decoder's native H/4 logits (skipping "
+        "the two 40-channel x2 learned upsamples, the tail's dominant HBM "
+        "traffic), argmaxes at H/4 and nearest-upsamples the tiny uint8 "
+        "class map on the host. Faster; class boundaries are nearest- "
+        "rather than learned-upsampled (accuracy knob, documented in "
+        "docs/DESIGN.md). 'full' matches the reference's eval chain.",
+    )
     args = parser.parse_args()
     args.dynamic = True
     args.global_gate = True
@@ -107,16 +116,19 @@ def main():
         "compact": model.forward_routed_compact,
         "switch": model.forward_switch,
     }[args.serve_mode]
+    low_res = args.output_res == "quarter"
     if serve_method is None:
         fwd = jax.jit(
             lambda v, r, d: model.apply(
-                v, r, d, train=False, hard=True, return_weight=True
+                v, r, d, train=False, hard=True, return_weight=True,
+                low_res=low_res,
             )
         )
     else:
         fwd = jax.jit(
             lambda v, r, d: model.apply(
-                v, r, d, return_weight=True, method=serve_method
+                v, r, d, return_weight=True, low_res=low_res,
+                method=serve_method,
             )
         )
 
@@ -159,6 +171,9 @@ def main():
         # bs=8 logits map in-graph vs +3.6 ms for this form
         # (tools/perf_argmax_net.py); same extraction as the eval step
         pred = np.asarray(first_argmax(logits, axis=-1))
+        if low_res:  # nearest-upsample the tiny class map on the host
+            scale = args.height // pred.shape[1]
+            pred = pred.repeat(scale, axis=1).repeat(scale, axis=2)
         t_model += time.perf_counter() - t0
         stats.append(weight)
         for img in pred:

@@ -214,6 +214,23 @@ def test_predict_cli(tmp_path):
             b = (tmp_path / f"preds_{tag}" / f).read_bytes()
             assert a == b, f"{tag} diverged on {f}"
 
+    # --output_res quarter: H/4 logits + host nearest-upsample of the class
+    # map. Maps are full-size but boundary pixels may differ from the
+    # learned-upsample chain (documented accuracy knob) — assert size only.
+    result = run_cli(
+        "predict.py",
+        TINY_FLAGS + ["--ckpt_path", ckpts[0], "--num", "3",
+                      "--serve_mode", "compact", "--output_res", "quarter",
+                      "--out_dir", str(tmp_path / "preds_quarter")],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    import cv2
+
+    for f in sorted(os.listdir(tmp_path / "preds_quarter")):
+        img = cv2.imread(str(tmp_path / "preds_quarter" / f))
+        assert img.shape[:2] == (64, 64), f"{f}: {img.shape}"
+
 
 def _make_prepared_sunrgbd(root, n_per_cam=2, hw=(64, 64)):
     """Tiny SUNRGBD-prepared layout: 2 cameras, labels_37, native res hw."""
