@@ -529,6 +529,16 @@ def main():
         return lambda v, r, d: m.apply(
             v, r, d, caps=(0, BS // 2, BS), method=m.forward_routed_compact)
 
+    def routed_q4_fn(m):
+        return lambda v, r, d: m.apply(
+            v, r, d, caps=(0, BS // 2, BS), low_res=True,
+            method=m.forward_routed_compact)
+
+    def classmap_fn(fwd):
+        from dynmm_tpu.nn.layers import first_argmax
+
+        return lambda v, r, d: first_argmax(fwd(v, r, d), axis=-1)
+
     runs = {
         "dense_fp32": make_scan_bench(dense_fn(model)),
         "dense_bf16": make_scan_bench(dense_fn(model_bf16)),
@@ -541,11 +551,21 @@ def main():
         "dense_bf16_packed": make_scan_bench(dense_fn(model_bf16)),
         "routed_fp32_packed": make_scan_bench(routed_fn(model)),
         "routed_bf16_packed": make_scan_bench(routed_fn(model_bf16)),
+        # class-MAP serving chains (the deliverable is an argmax map, not
+        # logits): full-res pays the two 40-ch x2 learned upsamples + a
+        # full-res argmax; q4 argmaxes the native H/4 logits (low_res=True,
+        # predict.py --output_res quarter) and nearest-upsamples the uint8
+        # map on the host (tools/perf_lowres.py)
+        "dense_fp32_classmap": make_scan_bench(classmap_fn(dense_fn(model))),
+        "routed_bf16_packed_classmap": make_scan_bench(
+            classmap_fn(routed_fn(model_bf16))),
+        "routed_bf16_packed_q4_classmap": make_scan_bench(
+            classmap_fn(routed_q4_fn(model_bf16))),
     }
     packed_args = (variables, rgb_p, depth_p)
     meds = measure_interleaved(
         runs, nop, variables, rgb, depth,
-        args_map={k: packed_args for k in runs if k.endswith("_packed")},
+        args_map={k: packed_args for k in runs if "_packed" in k},
     )
     for k, t in meds.items():
         log(f"bs={BS} {k}: {t*1e3:.2f} ms/batch ({BS/t:.1f} fps)")
@@ -715,6 +735,18 @@ def main():
                     "routed_fp32_packed_fps": round(
                         BS / meds["routed_fp32_packed"], 1),
                     "routed_bf16_packed_fps": round(BS / tdp16, 1),
+                    # class-MAP chains (forward + argmax, the actual serving
+                    # deliverable; q4 = quarter-res logits + host nearest
+                    # upsample of the uint8 map — tools/perf_lowres.py)
+                    "dense_fp32_classmap_fps": round(
+                        BS / meds["dense_fp32_classmap"], 1),
+                    "routed_bf16_packed_classmap_fps": round(
+                        BS / meds["routed_bf16_packed_classmap"], 1),
+                    "routed_bf16_packed_q4_classmap_fps": round(
+                        BS / meds["routed_bf16_packed_q4_classmap"], 1),
+                    "classmap_q4_vs_dense_fp32": round(
+                        meds["dense_fp32_classmap"]
+                        / meds["routed_bf16_packed_q4_classmap"], 4),
                     **bs1_series,
                     # the honest same-dtype footnote: fusion-level routing
                     # vs dense at fp32 on the R34 flagship (<1: the

@@ -77,6 +77,13 @@ class SegTrainConfig:
     # 5.5×-faster packed 4×4 conv with no on-device shuffle; bit-equal
     # outputs (tests/test_stem_lowering.py). Skipped when H or W is odd.
     packed_stem: bool = False
+    # quantify the quarter-res serving knob (predict.py --output_res
+    # quarter): eval on H/4 logits, argmax, nearest-resize the class map to
+    # the label resolution. Reference-parity eval keeps this False (the
+    # reference's chain is full-res logits → bilinear resize → argmax).
+    # Global-gate / static models only; valid-loss logging is skipped (the
+    # low-res logits don't match the label resolution).
+    low_res_eval: bool = False
 
 
 def onecycle_lr(cfg: SegTrainConfig):
@@ -297,10 +304,14 @@ class SegTrainer:
         return jitted
 
     def _get_eval_step(self, key):
-        """key = (hard, baseline, ini, out_h, out_w)."""
+        """key = (hard, baseline, ini, out_h, out_w, low_res)."""
         if key in self._eval_steps:
             return self._eval_steps[key]
-        hard, baseline, ini, out_h, out_w = key
+        hard, baseline, ini, out_h, out_w, low_res = key
+        if low_res and self.cfg.dynamic and not self.cfg.global_gate:
+            raise ValueError(
+                "low_res_eval supports global-gate / static models only"
+            )
 
         def step(state, image, depth):
             variables = {"params": state["params"], **state["model_state"]}
@@ -312,7 +323,7 @@ class SegTrainer:
                 if ini:
                     kwargs.update(ini_stage=True, rng=jax.random.PRNGKey(0))
                 pred, weight = self.model.apply(
-                    variables, *inputs, train=False, **kwargs
+                    variables, *inputs, train=False, low_res=low_res, **kwargs
                 )
             elif self.cfg.dynamic:
                 pred, weights = self.model.apply(
@@ -321,9 +332,22 @@ class SegTrainer:
                 )
                 weight = weights[-1]
             else:
-                pred = self.model.apply(variables, *inputs, train=False)
+                pred = self.model.apply(
+                    variables, *inputs, train=False, low_res=low_res
+                )
                 weight = jnp.zeros((image.shape[0], 0))
             pred_logits = pred
+            if low_res:
+                # the quarter-res serving chain (predict.py --output_res
+                # quarter): argmax the native H/4 logits, nearest-resize the
+                # tiny class map — 16× fewer logits bytes than the
+                # reference's resize→argmax chain below
+                pred_map = first_argmax(pred_logits, axis=-1)
+                pred_map = jax.image.resize(
+                    pred_map, (pred_map.shape[0], out_h, out_w),
+                    method="nearest",
+                )
+                return pred_logits, pred_map, weight
             pred_full = resize_bilinear(pred_logits, (out_h, out_w))
             # first_argmax, not jnp.argmax: the variadic argmax reduce costs
             # +16.3 ms on the bs=8 logits map in-graph (perf_argmax_net.py)
@@ -474,7 +498,8 @@ class SegTrainer:
                 image = space_to_depth_host(np.asarray(image))
                 depth = space_to_depth_host(np.asarray(depth))
             step = self._get_eval_step(
-                (hard, bool(cfg.baseline), bool(ini_stage), out_h, out_w)
+                (hard, bool(cfg.baseline), bool(ini_stage), out_h, out_w,
+                 bool(cfg.low_res_eval))
             )
 
             t0 = time.time()
@@ -489,7 +514,8 @@ class SegTrainer:
             self._phase_forward += time.time() - t0
 
             t0 = time.time()
-            if valid_loss is not None and "label" in batch:
+            if (valid_loss is not None and "label" in batch
+                    and not cfg.low_res_eval):  # low-res logits ≠ label res
                 valid_loss.add_batch(pred_logits, jnp.asarray(batch["label"]))
             if collect_weights is not None:
                 collect_weights.append(weight)

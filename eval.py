@@ -47,6 +47,14 @@ def main():
     parser.add_argument("--per_class_iou", "--per-class-iou",
                         action="store_true",
                         help="print the per-class IoU table of the last run")
+    parser.add_argument(
+        "--output_res", default="full", choices=("full", "quarter"),
+        help="'quarter' scores the quarter-res serving chain (predict.py "
+        "--output_res quarter): argmax the native H/4 logits, nearest-"
+        "resize the class map to label resolution. Quantifies the accuracy "
+        "cost of the 2x-faster serving knob; 'full' is the reference-parity "
+        "chain (full-res logits -> bilinear resize -> argmax).",
+    )
     args = parser.parse_args()
 
     args.pretrained_on_imagenet = False
@@ -65,6 +73,7 @@ def main():
         modality=args.modality,
         debug=args.debug,
         packed_stem=args.packed_stem,
+        low_res_eval=args.output_res == "quarter",
     )
     trainer = SegTrainer(model, cfg, np.ones(n_classes, np.float32))
 

@@ -128,6 +128,17 @@ def test_train_then_eval_roundtrip(tmp_path):
     assert result.returncode == 0, result.stderr[-4000:]
     assert "Run 1" in result.stdout
 
+    # quarter-res serving-chain scoring (accuracy side of the
+    # predict.py --output_res quarter knob): H/4 argmax + nearest resize
+    result = run_cli(
+        "eval.py",
+        TINY_FLAGS + ["--dynamic", "--global-gate", "--hard",
+                      "--output_res", "quarter", "--ckpt_path", ckpts[0]],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    assert "Mean" in result.stdout
+
 
 def test_eval_with_torch_checkpoint(tmp_path):
     """eval.py must load a reference-format .pth checkpoint (torch importer
