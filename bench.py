@@ -534,6 +534,10 @@ def main():
             v, r, d, caps=(0, BS // 2, BS), low_res=True,
             method=m.forward_routed_compact)
 
+    def dense_q4_fn(m):
+        return lambda v, r, d: m.apply(
+            v, r, d, train=False, baseline=True, low_res=True)
+
     def classmap_fn(fwd):
         from dynmm_tpu.nn.layers import first_argmax
 
@@ -561,6 +565,8 @@ def main():
             classmap_fn(routed_fn(model_bf16))),
         "routed_bf16_packed_q4_classmap": make_scan_bench(
             classmap_fn(routed_q4_fn(model_bf16))),
+        "dense_bf16_packed_q4_classmap": make_scan_bench(
+            classmap_fn(dense_q4_fn(model_bf16))),
     }
     packed_args = (variables, rgb_p, depth_p)
     meds = measure_interleaved(
@@ -744,9 +750,18 @@ def main():
                         BS / meds["routed_bf16_packed_classmap"], 1),
                     "routed_bf16_packed_q4_classmap_fps": round(
                         BS / meds["routed_bf16_packed_q4_classmap"], 1),
+                    "dense_bf16_packed_q4_classmap_fps": round(
+                        BS / meds["dense_bf16_packed_q4_classmap"], 1),
                     "classmap_q4_vs_dense_fp32": round(
                         meds["dense_fp32_classmap"]
                         / meds["routed_bf16_packed_q4_classmap"], 4),
+                    # best end-to-end class-map chain vs the reference-dtype
+                    # dense full-res chain (dense bf16 q4 wins on the R34
+                    # flagship — routed_vs_dense physics, docs/DESIGN.md)
+                    "best_classmap_vs_dense_fp32": round(
+                        meds["dense_fp32_classmap"]
+                        / min(meds["routed_bf16_packed_q4_classmap"],
+                              meds["dense_bf16_packed_q4_classmap"]), 4),
                     **bs1_series,
                     # the honest same-dtype footnote: fusion-level routing
                     # vs dense at fp32 on the R34 flagship (<1: the
