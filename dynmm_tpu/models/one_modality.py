@@ -81,7 +81,7 @@ class ESANetOneModality(nn.Module):
     def _se(self, i, x):
         return self.se_layers[i](x) if self.se_layers is not None else x
 
-    def __call__(self, image, train: bool = False):
+    def __call__(self, image, train: bool = False, low_res: bool = False):
         out = self.encoder.stem(image, train)
         out = self._se(0, out)
         out = max_pool_3x3_s2(out)
@@ -96,4 +96,6 @@ class ESANetOneModality(nn.Module):
 
         if self.context_module is not None:
             out = self.context_module(out, train)
-        return self.decoder([out, skips[2], skips[1], skips[0]], train)
+        return self.decoder(
+            [out, skips[2], skips[1], skips[0]], train, low_res=low_res
+        )

@@ -104,3 +104,22 @@ def test_train_mode_ignores_lowres(setup):
     )[0]
     pred = out[0][0] if isinstance(out[0], (tuple, list)) else out[0]
     assert pred.shape[1] == 64  # full resolution despite low_res=True
+
+
+def test_lowres_one_modality():
+    """ESANetOneModality (--modality rgb/depth) supports the serving knob —
+    the trainer's static eval step passes low_res unconditionally
+    (train/seg.py::_get_eval_step), so every static model must accept it."""
+    from dynmm_tpu.models.one_modality import ESANetOneModality
+
+    model = ESANetOneModality(CFG, input_channels=3)
+    rng = np.random.default_rng(1)
+    rgb = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    variables = dict(model.init(jax.random.PRNGKey(0), rgb, train=False))
+    full = model.apply(variables, rgb, train=False)
+    low = model.apply(variables, rgb, train=False, low_res=True)
+    assert low.shape == (2, 16, 16, CFG.num_classes)
+    np.testing.assert_allclose(
+        np.asarray(apply_upsample_tail(variables, low)),
+        np.asarray(full), atol=1e-6, rtol=1e-6,
+    )
