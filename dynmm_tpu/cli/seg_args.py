@@ -95,6 +95,13 @@ class ArgumentParserRGBDSegmentation(argparse.ArgumentParser):
                                    "cityscapes-with-depth", "scenenetrgbd",
                                    "synthetic"])
         self.add_argument("--dataset_dir", default="./datasets/nyuv2")
+        self.add_argument("--synthetic_n", default=16, type=int,
+                          help="train-split size of --dataset synthetic "
+                               "(test split uses half)")
+        self.add_argument("--synthetic_mixed_frac", default=0.0, type=float,
+                          help="fraction of synthetic samples that need the "
+                               "depth modality (input-dependent routing; "
+                               "see SyntheticSegDataset)")
         self.add_argument("--raw_depth", action="store_true", default=False)
         self.add_argument("--aug_scale_min", default=1.0, type=float)
         self.add_argument("--aug_scale_max", default=1.4, type=float)

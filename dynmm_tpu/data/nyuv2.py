@@ -178,7 +178,17 @@ class NYUv2Dataset:
 
 class SyntheticSegDataset:
     """Shape-compatible synthetic RGB-D segmentation data for tests/benchmarks:
-    piecewise-constant label regions with modality-correlated appearance."""
+    piecewise-constant label regions with modality-correlated appearance.
+
+    ``mixed_modality_frac`` > 0 makes routing *input-dependent* (the regime
+    the reference's gate is trained for on real NYUv2): that fraction of
+    samples (deterministic per index) are "depth-needed" — their RGB is
+    rendered from a coarsened label map (class pairs share appearance) while
+    depth stays fully class-informative — and the complementary samples are
+    "rgb-sufficient", with informative RGB and near-flat depth. A resource-
+    penalized gate then has a real signal to skip the depth encoder only on
+    rgb-sufficient inputs. Default 0.0 keeps the original generation
+    bit-for-bit (both modalities informative on every sample)."""
 
     def __init__(
         self,
@@ -188,6 +198,7 @@ class SyntheticSegDataset:
         n_classes: int = N_CLASSES,
         seed: int = 0,
         split: str = "train",
+        mixed_modality_frac: float = 0.0,
     ):
         self.n = n
         self.h, self.w = height, width
@@ -197,9 +208,20 @@ class SyntheticSegDataset:
         self.depth_mean = DEPTH_MEAN
         self.depth_std = DEPTH_STD
         self._seed = seed
+        self._mixed_frac = float(mixed_modality_frac)
 
     def __len__(self) -> int:
         return self.n
+
+    def depth_needed(self, idx: int) -> bool:
+        """Whether sample ``idx`` is of the depth-needed kind (same draw
+        __getitem__ makes) — lets callers compose batches with an exact
+        easy/hard mix."""
+        if self._mixed_frac <= 0.0:
+            return False
+        rng = np.random.default_rng(self._seed * 100003 + idx)
+        rng.integers(1, self.n_classes_without_void + 1, size=(8, 8))
+        return bool(rng.random() < self._mixed_frac)
 
     def __getitem__(self, idx: int) -> dict:
         rng = np.random.default_rng(self._seed * 100003 + idx)
@@ -210,13 +232,30 @@ class SyntheticSegDataset:
             grid, np.ones((self.h // gh, self.w // gw), dtype=np.int64)
         ).astype(np.uint8)
         label[:4] = 0  # void strip
+        # only draw when enabled so the default stream is unchanged
+        depth_needed = (
+            self._mixed_frac > 0.0 and rng.random() < self._mixed_frac
+        )
+        if depth_needed:
+            # class pairs (1,2), (3,4), ... share RGB appearance; only depth
+            # separates them
+            rgb_label = ((label.astype(np.int64) - 1) // 2 * 2 + 1).clip(0)
+            rgb_label[label == 0] = 0
+        else:
+            rgb_label = label.astype(np.int64)
         image = (
-            (label[..., None].astype(np.float32) * 5.3) % 255
+            (rgb_label[..., None].astype(np.float32) * 5.3) % 255
             + rng.normal(0, 12, size=(self.h, self.w, 3))
         ).clip(0, 255).astype(np.uint8)
-        depth = (
-            label.astype(np.float32) * 80.0
-            + 1500.0
-            + rng.normal(0, 30, size=(self.h, self.w))
-        ).clip(100, 9000).astype(np.float32)
+        if self._mixed_frac > 0.0 and not depth_needed:
+            # rgb-sufficient sample: depth carries (almost) no class signal
+            depth = (
+                2800.0 + rng.normal(0, 30, size=(self.h, self.w))
+            ).clip(100, 9000).astype(np.float32)
+        else:
+            depth = (
+                label.astype(np.float32) * 80.0
+                + 1500.0
+                + rng.normal(0, 30, size=(self.h, self.w))
+            ).clip(100, 9000).astype(np.float32)
         return {"image": image, "depth": depth, "label": label}
