@@ -70,11 +70,13 @@ def make_dataset(args, split: str):
             depth_mode="raw" if args.raw_depth else "refined",
         )
     if args.dataset == "synthetic":
+        n_train = getattr(args, "synthetic_n", 16)
         return SyntheticSegDataset(
-            n=16 if split == "train" else 8,
+            n=n_train if split == "train" else max(1, n_train // 2),
             height=args.height,
             width=args.width,
             split=split,
+            mixed_modality_frac=getattr(args, "synthetic_mixed_frac", 0.0),
         )
     from dynmm_tpu.data.other_datasets import DATASETS
 
@@ -93,6 +95,22 @@ def prepare_data(args, with_input_orig: bool = False):
     batch and keeps order."""
     train_ds = make_dataset(args, "train")
     valid_ds = make_dataset(args, "test")
+    from jax._src import xla_bridge as _xb
+
+    # multi-host: each process loads only its own devices' rows; the
+    # trainer assembles global batches with make_global_batch
+    # (jax.make_array_from_process_local_data — SURVEY §5.8). Only probe
+    # process_count when the backend is already up (a multi-host launcher
+    # will have called jax.distributed.initialize before prepare_data);
+    # probing would otherwise initialize jax before the CLI imports torch.
+    if _xb.backends_are_initialized():
+        import jax
+
+        if jax.process_count() > 1:
+            from dynmm_tpu.parallel import ProcessShard
+
+            train_ds = ProcessShard(train_ds)
+            valid_ds = ProcessShard(valid_ds)
     depth_mean = getattr(train_ds, "depth_mean", 0.0)
     depth_std = getattr(train_ds, "depth_std", 1.0)
     depth_mode = "raw" if args.raw_depth else "refined"

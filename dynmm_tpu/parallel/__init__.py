@@ -3,6 +3,8 @@
 from dynmm_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
+    make_global_batch,
+    ProcessShard,
     shard_params,
     replicate,
     MODEL_SHARDING_RULES,
@@ -11,6 +13,8 @@ from dynmm_tpu.parallel.mesh import (
 __all__ = [
     "make_mesh",
     "shard_batch",
+    "make_global_batch",
+    "ProcessShard",
     "shard_params",
     "replicate",
     "MODEL_SHARDING_RULES",

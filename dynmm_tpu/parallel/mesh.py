@@ -52,6 +52,56 @@ def shard_batch(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(put, tree)
 
 
+def make_global_batch(tree: Any, mesh: Mesh) -> Any:
+    """Build GLOBAL batch arrays from this process's HOST-LOCAL data via
+    ``jax.make_array_from_process_local_data`` (SURVEY §5.8): each host
+    feeds only the rows destined for its own addressable devices on the
+    'data' axis — no cross-host scatter of full batches. In a
+    single-process run the local data is the whole batch and this equals
+    ``shard_batch``; in a multi-host run each process passes its
+    ``ProcessShard``-served slice and jax assembles the logical global
+    array without materializing it anywhere."""
+    sharding = NamedSharding(mesh, P("data"))
+
+    def put(x):
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+class ProcessShard:
+    """Dataset view exposing only THIS process's contiguous slice — the
+    host-local half of the multi-host input pipeline (pair with
+    ``make_global_batch``). Non-index attributes (class counts, depth
+    stats, cameras, ...) delegate to the wrapped dataset.
+
+    ``process_index``/``process_count`` default to the live jax runtime's;
+    pass them explicitly to simulate a multi-process layout in tests."""
+
+    def __init__(self, dataset, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        self._ds = dataset
+        self._count = (jax.process_count() if process_count is None
+                       else process_count)
+        self._index = (jax.process_index() if process_index is None
+                       else process_index)
+        n = len(dataset)
+        per = n // self._count  # drop the ragged tail: equal per-host shards
+        self._start = self._index * per
+        self._len = per
+
+    def __len__(self) -> int:
+        return self._len
+
+    def __getitem__(self, idx: int):
+        if not 0 <= idx < self._len:
+            raise IndexError(idx)
+        return self._ds[self._start + idx]
+
+    def __getattr__(self, name):
+        return getattr(self._ds, name)
+
+
 # Minimum output-channel width before a kernel is worth sharding over 'model'
 MODEL_SHARDING_RULES = {"min_out_channels": 256}
 

@@ -183,7 +183,9 @@ class SegTrainer:
     def _maybe_shard_batch(self, *arrays):
         if self.mesh is None:
             return arrays
-        from dynmm_tpu.parallel import shard_batch
+        import jax as _jax
+
+        from dynmm_tpu.parallel import make_global_batch, shard_batch
 
         # eval loaders can yield ragged tail batches; shard only when the
         # batch divides the data axis, else leave host-replicated (jit still
@@ -191,6 +193,10 @@ class SegTrainer:
         n_data = self.mesh.shape["data"]
         if any(a.shape[0] % n_data != 0 for a in arrays):
             return arrays
+        if _jax.process_count() > 1:
+            # multi-host: each process feeds only its own devices' rows
+            # (loader serves a ProcessShard view; SURVEY §5.8)
+            return make_global_batch(arrays, self.mesh)
         return shard_batch(arrays, self.mesh)
 
     def _mesh_ctx(self):
