@@ -519,7 +519,12 @@ class SkipGateESANet(_DualEncoderParts):
         rgb, depth = self._stems(rgb, depth, train)
         weight = self.gate_weights(rgb, depth, temp=temp, hard=True,
                                    train=train, baseline=baseline)
-        if force_path is not None:  # static path override (benchmarks/tests)
+        # A Python-int force_path compiles a fully STATIC path graph (plain
+        # control flow, zero cond boundaries) — the unit the host-dispatch
+        # serve mode (predict.py --serve_mode switch_host) and the per-path
+        # benches execute. Traced/dynamic values keep the in-graph conds.
+        static_k = force_path if isinstance(force_path, int) else None
+        if force_path is not None:  # path override (benchmarks/tests)
             k = jnp.int32(force_path)
         else:
             k = jnp.argmax(weight[0]).astype(jnp.int32)
@@ -547,7 +552,10 @@ class SkipGateESANet(_DualEncoderParts):
                 z = jnp.zeros((r.shape[0], r.shape[1], r.shape[2], c), r.dtype)
                 return r, z
 
-            fused, depth = jax.lax.cond(k >= i, fuse_i, skip_i, (r, depth))
+            if static_k is not None:
+                fused, depth = (fuse_i if static_k >= i else skip_i)((r, depth))
+            else:
+                fused, depth = jax.lax.cond(k >= i, fuse_i, skip_i, (r, depth))
             skips.append(self.skip(i, fused, train))
 
         r = self.encoder_rgb.layer4(fused, train)
@@ -557,7 +565,11 @@ class SkipGateESANet(_DualEncoderParts):
             d = self.encoder_depth.layer4(d, train)
             return self.fuse(4, r, d)
 
-        fused = jax.lax.cond(k >= 4, fuse_4, lambda ops: ops[0], (r, depth))
+        if static_k is not None:
+            fused = fuse_4((r, depth)) if static_k >= 4 else r
+        else:
+            fused = jax.lax.cond(k >= 4, fuse_4, lambda ops: ops[0],
+                                 (r, depth))
         out = self.head(fused, skips, train, low_res=low_res)
         if return_weight:
             return out, weight

@@ -58,12 +58,14 @@ def main():
     )
     parser.add_argument(
         "--serve_mode", default="batchmax",
-        choices=("batchmax", "dense", "compact", "switch"),
+        choices=("batchmax", "dense", "compact", "switch", "switch_host"),
         help="execution strategy (docs/DESIGN.md measured economics): "
         "batchmax = batch-adaptive depth skipping; dense = static graph, "
         "hard gate weights; compact = per-sample bucket compaction "
         "(forward_routed_compact); switch = real per-stage skipping, "
-        "batch_size 1 only",
+        "batch_size 1 only; switch_host = two-phase host dispatch (tiny "
+        "gate program resolves k on the host, then one of 5 fully STATIC "
+        "path programs runs — zero cond boundaries), batch_size 1 only",
     )
     parser.add_argument(
         "--output_res", default="full", choices=("full", "quarter"),
@@ -107,17 +109,51 @@ def main():
     variables = {"params": params, **model_state}
     print(f"Loaded checkpoint from {args.ckpt_path}")
 
-    if args.serve_mode == "switch" and args.batch_size != 1:
-        parser.error("--serve_mode switch requires --batch_size 1 "
+    if args.serve_mode in ("switch", "switch_host") and args.batch_size != 1:
+        parser.error(f"--serve_mode {args.serve_mode} requires --batch_size 1 "
                      "(forward_switch routes the whole batch by sample 0)")
+    if args.serve_mode == "switch_host" and args.export_path:
+        parser.error("--serve_mode switch_host is a two-phase host-dispatch "
+                     "pipeline (gate program + 5 path programs) and cannot "
+                     "be exported as one artifact; export with --serve_mode "
+                     "switch instead")
     serve_method = {
         "batchmax": model.forward_switch_batched,
         "dense": None,  # __call__ with hard one-hot weights (bit-equal)
         "compact": model.forward_routed_compact,
         "switch": model.forward_switch,
+        "switch_host": model.forward_switch,  # via per-path static programs
     }[args.serve_mode]
     low_res = args.output_res == "quarter"
-    if serve_method is None:
+    if args.serve_mode == "switch_host":
+        # Phase 1: a tiny gate program resolves k on the host. Phase 2: one
+        # of 5 fully static path programs (Python-int force_path compiles
+        # plain control flow — zero lax.cond boundaries, the bs=1 cond tax
+        # measured ~0.38 ms in tools/perf_bs1_latency.py). Path programs
+        # compile lazily on first use.
+        def _gate_k(mdl, r, d):
+            import jax.numpy as _jnp
+
+            rs, ds = mdl._stems(r, d, False)
+            w = mdl.gate_weights(rs, ds, hard=True)
+            return _jnp.argmax(w[0]).astype(_jnp.int32), w
+
+        gate_fn = jax.jit(
+            lambda v, r, d: model.apply(v, r, d, method=_gate_k))
+        path_fns = {
+            kk: jax.jit(
+                lambda v, r, d, kk=kk: model.apply(
+                    v, r, d, force_path=kk, low_res=low_res,
+                    method=model.forward_switch,
+                )
+            )
+            for kk in range(5)
+        }
+
+        def fwd(v, r, d):
+            k, w = gate_fn(v, r, d)
+            return path_fns[int(k)](v, r, d), w
+    elif serve_method is None:
         fwd = jax.jit(
             lambda v, r, d: model.apply(
                 v, r, d, train=False, hard=True, return_weight=True,

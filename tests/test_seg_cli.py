@@ -242,6 +242,25 @@ def test_predict_cli(tmp_path):
         img = cv2.imread(str(tmp_path / "preds_quarter" / f))
         assert img.shape[:2] == (64, 64), f"{f}: {img.shape}"
 
+    # switch vs switch_host at batch_size 1: the two-phase host-dispatch
+    # pipeline (gate program → one of 5 static path programs, zero cond
+    # boundaries) must reproduce the in-graph cond path byte-for-byte
+    for mode in ("switch", "switch_host"):
+        result = run_cli(
+            "predict.py",
+            TINY_FLAGS + ["--ckpt_path", ckpts[0], "--num", "2",
+                          "--batch_size", "1", "--serve_mode", mode,
+                          "--out_dir", str(tmp_path / f"preds_{mode}")],
+            tmp_path,
+        )
+        assert result.returncode == 0, result.stderr[-3000:]
+    switch_outs = sorted(os.listdir(tmp_path / "preds_switch"))
+    assert len(switch_outs) == 2
+    for f in switch_outs:
+        a = (tmp_path / "preds_switch" / f).read_bytes()
+        b = (tmp_path / "preds_switch_host" / f).read_bytes()
+        assert a == b, f"switch_host diverged on {f}"
+
 
 def _make_prepared_sunrgbd(root, n_per_cam=2, hw=(64, 64)):
     """Tiny SUNRGBD-prepared layout: 2 cameras, labels_37, native res hw."""
