@@ -63,6 +63,11 @@ class ESANetConfig:
     upsampling: str = "learned-3x3-zeropad"
     dtype: Any = None
     use_pallas: bool = False  # fused SE kernel on the TPU inference path
+    # Pallas fused learned-3x3 upsample for ONLY the three lane-aligned
+    # decoder-module upsamples (512/256/128 ch; kernels/upsample.py) —
+    # independent of the all-kernels use_pallas flag so the decoder
+    # upsample axis can be measured in isolation (VERDICT r3 item 1a)
+    pallas_upsample: bool = False
     remat: bool = False       # rematerialize encoder stages in training
     # Space-to-depth stem lowering (same math). Default OFF: XLA's native
     # small-channel strided conv path runs the plain 7×7/2 stem in 0.05 ms
@@ -89,6 +94,7 @@ class DecoderModule(nn.Module):
     activation: Callable = jax.nn.relu
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
+    pallas_upsample: bool = False
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
@@ -108,7 +114,9 @@ class DecoderModule(nn.Module):
         )(out)
         out = Upsample(
             mode=self.upsampling_mode, channels=self.channels_dec,
-            dtype=self.dtype, use_pallas=self.use_pallas, name="upsample",
+            dtype=self.dtype,
+            use_pallas=self.use_pallas or self.pallas_upsample,
+            name="upsample",
         )(out)
         if self.encoder_decoder_fusion == "add" and skip is not None:
             out = out + skip
@@ -127,6 +135,7 @@ class Decoder(nn.Module):
     activation: Callable = jax.nn.relu
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
+    pallas_upsample: bool = False
 
     @nn.compact
     def __call__(self, enc_outs, train: bool = False, low_res: bool = False):
@@ -134,17 +143,20 @@ class Decoder(nn.Module):
         out, down_32 = DecoderModule(
             self.channels_decoder[0], self.nr_decoder_blocks[0], self.num_classes,
             self.upsampling_mode, self.encoder_decoder_fusion, self.activation,
-            self.dtype, self.use_pallas, name="decoder_module_1",
+            self.dtype, self.use_pallas, self.pallas_upsample,
+            name="decoder_module_1",
         )(enc_out, skip_16, train)
         out, down_16 = DecoderModule(
             self.channels_decoder[1], self.nr_decoder_blocks[1], self.num_classes,
             self.upsampling_mode, self.encoder_decoder_fusion, self.activation,
-            self.dtype, self.use_pallas, name="decoder_module_2",
+            self.dtype, self.use_pallas, self.pallas_upsample,
+            name="decoder_module_2",
         )(out, skip_8, train)
         out, down_8 = DecoderModule(
             self.channels_decoder[2], self.nr_decoder_blocks[2], self.num_classes,
             self.upsampling_mode, self.encoder_decoder_fusion, self.activation,
-            self.dtype, self.use_pallas, name="decoder_module_3",
+            self.dtype, self.use_pallas, self.pallas_upsample,
+            name="decoder_module_3",
         )(out, skip_4, train)
 
         out = torch_conv(
@@ -254,6 +266,7 @@ class _DualEncoderParts(nn.Module):
             activation=cfg.act,
             dtype=cfg.dtype,
             use_pallas=cfg.use_pallas,
+            pallas_upsample=cfg.pallas_upsample,
             name="decoder",
         )
 
