@@ -283,6 +283,95 @@ def make_eval_batch(rng, bs, h, w):
     return rgb, depth
 
 
+def _jsonable(x):
+    """Recursively convert msgpack-restored values to json-serializable."""
+    if isinstance(x, dict):
+        return {str(k): _jsonable(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_jsonable(v) for v in x]
+    if isinstance(x, bytes):
+        return x.decode()
+    if isinstance(x, np.generic):
+        return x.item()
+    if isinstance(x, np.ndarray):
+        return x.tolist()
+    return x
+
+
+def _merge_subtree(dst, src, path=""):
+    """Recursively overwrite ``dst`` leaves with ``src`` (a state-dict
+    subset); shapes must match."""
+    out = dict(dst)
+    for k, v in src.items():
+        if isinstance(v, dict):
+            out[k] = _merge_subtree(out[k], v, f"{path}/{k}")
+        else:
+            arr = np.asarray(v)
+            ref = np.asarray(out[k])
+            assert arr.shape == ref.shape, (
+                f"recipe-asset shape mismatch at {path}/{k}: "
+                f"{arr.shape} vs {ref.shape}")
+            out[k] = arr.astype(ref.dtype)
+    return out
+
+
+def load_recipe_gate(variables, encoder="resnet34", asset_dir=None):
+    """Swap in the reference-recipe-trained gate PLUS everything upstream of
+    its input (stem conv1/bn1 of both encoders, the stem SE fusion, and
+    their BN running stats) — produced by tools/train_recipe_gate.py via the
+    real two-stage train.py workflow (reference README.md:83-89). Returns
+    (variables, ratios, provenance) or (variables, None, None)."""
+    import flax.serialization
+
+    if asset_dir is None:
+        asset_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_assets")
+    suffix = "" if encoder == "resnet34" else f"_{encoder}"
+    path = os.path.join(asset_dir, f"gate_recipe{suffix}.msgpack")
+    if not os.path.exists(path):
+        return variables, None, None
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    sub = payload["subtree"]
+    new_vars = dict(variables)
+    new_vars["params"] = _merge_subtree(variables["params"], sub["params"])
+    if sub.get("batch_stats"):
+        new_vars["batch_stats"] = _merge_subtree(
+            variables["batch_stats"], sub["batch_stats"])
+    return (new_vars, np.asarray(payload["branch_ratios"]),
+            payload.get("provenance"))
+
+
+def make_recipe_eval_batch(bs, h, w, seed=7, mixed_frac=0.5):
+    """Preprocessed synthetic eval batch with an EXACT half depth-needed /
+    half rgb-sufficient composition — the distribution the recipe gate was
+    trained on (SyntheticSegDataset mixed_modality_frac). Returns
+    (rgb, depth) float32 arrays."""
+    from dynmm_tpu.data.nyuv2 import SyntheticSegDataset
+    from dynmm_tpu.data.seg_preprocessing import SegPreprocessor
+
+    ds = SyntheticSegDataset(
+        n=1 << 30, height=h, width=w, seed=seed, split="test",
+        mixed_modality_frac=mixed_frac,
+    )
+    pre = SegPreprocessor(ds.depth_mean, ds.depth_std, h, w, phase="test")
+    want_hard = bs // 2
+    idxs, n_hard, i = [], 0, 0
+    while len(idxs) < bs:
+        hard = ds.depth_needed(i)
+        if hard and n_hard < want_hard:
+            idxs.append(i)
+            n_hard += 1
+        elif not hard and len(idxs) - n_hard < bs - want_hard:
+            idxs.append(i)
+        i += 1
+    rng = np.random.default_rng(0)  # test phase: rng unused by transforms
+    samples = [pre(ds[j], rng) for j in idxs]
+    rgb = np.stack([s["image"] for s in samples]).astype(np.float32)
+    depth = np.stack([s["depth"] for s in samples]).astype(np.float32)
+    return rgb, depth
+
+
 def load_trained_gate(variables):
     """Swap in the committed trained gate; returns (variables, ratios|None)."""
     import flax.serialization
@@ -446,8 +535,18 @@ def bench_r50():
     model = SkipGateESANet(cfg)
     rng = np.random.default_rng(0)
     rgb0, depth0 = make_eval_batch(rng, BS, 480, 640)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(rgb0), jnp.asarray(depth0),
+        train=False)
+    # recipe-trained R50 gate (tools/train_recipe_gate.py ENCODER=resnet50):
+    # with it, a real routed-vs-dense ratio joins the forced-path bounds,
+    # on the eval distribution the gate was trained for
+    variables, r50_ratios, _ = load_recipe_gate(variables, "resnet50")
+    if r50_ratios is not None:
+        rgb0, depth0 = make_recipe_eval_batch(BS, 480, 640)
+        log(f"r50 gate: recipe (ratios "
+            f"{np.array2string(r50_ratios, precision=3)})")
     rgb, depth = jnp.asarray(rgb0), jnp.asarray(depth0)
-    variables = model.init(jax.random.PRNGKey(0), rgb, depth, train=False)
 
     @jax.jit
     def nop(v, r, d):
@@ -463,6 +562,10 @@ def bench_r50():
         "force_k4": lambda v, r, d: model.apply(
             v, r, d, force_path=4, method=model.forward_switch_batched),
     }
+    if r50_ratios is not None:
+        cands["routed"] = lambda v, r, d: model.apply(
+            v, r, d, caps=(0, BS // 2, BS),
+            method=model.forward_routed_compact)
     # round-robin interleaved: sequential best-of reps are biased by the
     # ~1.5x contention drift (ADVICE r2)
     res = measure_interleaved(
@@ -472,11 +575,19 @@ def bench_r50():
     for name, t in res.items():
         log(f"r50 {name}: {t*1e3:.2f} ms/batch ({BS/t:.1f} fps)")
     base = res["dense_base"]
-    return {
+    out = {
         "dense_base_ms": round(base * 1e3, 2),
-        "forced_ms": {k: round(res[k] * 1e3, 2) for k in res if k != "dense_base"},
-        "vs_base": {k: round(base / res[k], 3) for k in res if k != "dense_base"},
+        "forced_ms": {k: round(res[k] * 1e3, 2)
+                      for k in res if k not in ("dense_base", "routed")},
+        "vs_base": {k: round(base / res[k], 3)
+                    for k in res if k not in ("dense_base", "routed")},
     }
+    if "routed" in res:
+        out["routed_ms"] = round(res["routed"] * 1e3, 2)
+        out["routed_vs_dense"] = round(base / res["routed"], 4)
+        out["gate"] = "recipe"
+        out["branch_ratios"] = [round(float(x), 4) for x in r50_ratios]
+    return out
 
 
 def main():
@@ -495,8 +606,18 @@ def main():
 
     log(f"devices: {jax.devices()}")
     variables = model.init(jax.random.PRNGKey(0), rgb, depth, train=False)
-    variables, trained_ratios = load_trained_gate(variables)
-    gate_kind = "trained" if trained_ratios is not None else "untrained"
+    # Prefer the reference-recipe gate asset (tools/train_recipe_gate.py:
+    # two-stage hard-loss init → temp-annealed soft, through the real
+    # train.py CLI); its eval stream is the preprocessed synthetic mix it
+    # was trained on. Fall back to the round-1 self-distilled gate.
+    variables, trained_ratios, recipe_prov = load_recipe_gate(variables)
+    if trained_ratios is not None:
+        gate_kind = "recipe"
+        rgb0, depth0 = make_recipe_eval_batch(BS, h, w)
+        rgb, depth = jnp.asarray(rgb0), jnp.asarray(depth0)
+    else:
+        variables, trained_ratios = load_trained_gate(variables)
+        gate_kind = "trained" if trained_ratios is not None else "untrained"
     log(f"gate: {gate_kind}"
         + (f" (ratios {np.array2string(trained_ratios, precision=3)})"
            if trained_ratios is not None else ""))
@@ -641,8 +762,11 @@ def main():
 
     counts = np.zeros(5, np.int64)
     eval_rng = np.random.default_rng(1234)
-    for _ in range(N_BATCHES):
-        rb, db = make_eval_batch(eval_rng, BS, h, w)
+    for i in range(N_BATCHES):
+        if gate_kind == "recipe":
+            rb, db = make_recipe_eval_batch(BS, h, w, seed=1234 + i)
+        else:
+            rb, db = make_eval_batch(eval_rng, BS, h, w)
         p = np.asarray(paths_of(variables, jnp.asarray(rb), jnp.asarray(db)))
         counts += np.bincount(p, minlength=5)
     ratios = (counts / counts.sum()).round(4)
@@ -762,6 +886,14 @@ def main():
                         meds["dense_fp32_classmap"]
                         / min(meds["routed_bf16_packed_q4_classmap"],
                               meds["dense_bf16_packed_q4_classmap"]), 4),
+                    # which candidate won the min() above — the per-candidate
+                    # *_classmap_fps keys are the cross-round trend series;
+                    # the min is a convenience headline only (ADVICE r3)
+                    "best_classmap_candidate": (
+                        "routed_bf16_packed_q4"
+                        if meds["routed_bf16_packed_q4_classmap"]
+                        <= meds["dense_bf16_packed_q4_classmap"]
+                        else "dense_bf16_packed_q4"),
                     **bs1_series,
                     # the honest same-dtype footnote: fusion-level routing
                     # vs dense at fp32 on the R34 flagship (<1: the
@@ -779,6 +911,8 @@ def main():
                 },
                 "branch_ratios": ratios.tolist(),
                 "gate": gate_kind,
+                **({"gate_provenance": _jsonable(recipe_prov)}
+                   if recipe_prov else {}),
                 "modality_routing": modality,
                 **({"r50_routing": r50} if r50 is not None else {}),
             }
