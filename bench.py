@@ -63,14 +63,9 @@ BS = 8
 def setup_compilation_cache():
     """Persist compiled programs across bench runs (first compile of the
     bucket-switch graphs is minutes; later runs are instant)."""
-    import jax
+    from dynmm_tpu.utils.platform import setup_compilation_cache as _setup
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _setup()
 
 
 class _SkipDiagnostics(Exception):

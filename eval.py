@@ -19,8 +19,9 @@ import numpy as np
 
 
 def main():
-    from dynmm_tpu.utils.platform import maybe_force_cpu
+    from dynmm_tpu.utils.platform import maybe_force_cpu, setup_compilation_cache
     maybe_force_cpu()
+    setup_compilation_cache()
     import jax
 
     from dynmm_tpu.cli.seg_args import ArgumentParserRGBDSegmentation

@@ -20,9 +20,10 @@ import numpy as np
 
 
 def main():
-    from dynmm_tpu.utils.platform import maybe_force_cpu
+    from dynmm_tpu.utils.platform import maybe_force_cpu, setup_compilation_cache
 
     maybe_force_cpu()
+    setup_compilation_cache()
     import jax
     import jax.numpy as jnp
 

@@ -21,8 +21,9 @@ from datetime import datetime
 
 
 def main():
-    from dynmm_tpu.utils.platform import maybe_force_cpu
+    from dynmm_tpu.utils.platform import maybe_force_cpu, setup_compilation_cache
     maybe_force_cpu()
+    setup_compilation_cache()
     from dynmm_tpu.cli.seg_args import ArgumentParserRGBDSegmentation
     from dynmm_tpu.cli.seg_build import (
         build_model,
