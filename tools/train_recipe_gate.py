@@ -68,8 +68,9 @@ BASE_FLAGS = [
     # the trainer's final best-state save (reference "ckpt_best" semantics)
     "--save-every", "100000",
 ]
-if ENCODER == "resnet50":
-    BASE_FLAGS += ["--encoder_block", "Bottleneck"]
+# NOTE: no --encoder_block flag for resnet50 — like the reference CLI
+# (src/args.py:110-115 only offers BasicBlock/NonBottleneck1D), the factory
+# always uses Bottleneck blocks for resnet50 (models/resnet.py:492-494).
 
 
 def run_stage(name: str, extra_flags, results_dir: str) -> str:
