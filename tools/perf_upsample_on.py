@@ -24,8 +24,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from dynmm_tpu.models.esanet import ESANetConfig
-    from dynmm_tpu.models.skip_gate import SkipGateESANet
+    from __graft_entry__ import _flagship
     from dynmm_tpu.models.resnet import space_to_depth_host
 
     print(f"devices: {jax.devices()}", flush=True)
@@ -38,9 +37,7 @@ def main():
     depth_p = jnp.asarray(space_to_depth_host(depth))
 
     def flagship(dtype=None, pallas_upsample=False):
-        return SkipGateESANet(ESANetConfig(
-            encoder="resnet34", encoder_block="NonBottleneck1D",
-            dtype=dtype, pallas_upsample=pallas_upsample))
+        return _flagship(H, W, dtype=dtype, pallas_upsample=pallas_upsample)
 
     variables = flagship().init(
         jax.random.PRNGKey(0), jnp.asarray(rgb), jnp.asarray(depth),
