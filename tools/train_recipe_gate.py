@@ -114,16 +114,27 @@ def main():
 
     setup_compilation_cache()
 
-    if os.path.exists(WORKDIR):
-        shutil.rmtree(WORKDIR)
-    os.makedirs(WORKDIR)
-
-    dir_a = run_stage(
-        "stage A (hard-loss1e-4)",
-        ["--epoch-ini", "0", "--epoch-hard", "0", "--epochs", str(EPOCHS_A)],
-        os.path.join(WORKDIR, "stage_a"),
-    )
-    ck_a = last_ckpt(dir_a)
+    # STAGE_A_CKPT: resume after an interrupted run — reuse a finished
+    # stage-A checkpoint instead of re-training it (stage A is ~half the
+    # wall clock). Stage B always reruns from scratch.
+    ck_a = os.environ.get("STAGE_A_CKPT", "")
+    if ck_a:
+        assert os.path.exists(ck_a), ck_a
+        dir_a = os.path.dirname(ck_a)
+        stale_b = os.path.join(WORKDIR, "stage_b")
+        if os.path.exists(stale_b):
+            shutil.rmtree(stale_b)
+    else:
+        if os.path.exists(WORKDIR):
+            shutil.rmtree(WORKDIR)
+        os.makedirs(WORKDIR)
+        dir_a = run_stage(
+            "stage A (hard-loss1e-4)",
+            ["--epoch-ini", "0", "--epoch-hard", "0",
+             "--epochs", str(EPOCHS_A)],
+            os.path.join(WORKDIR, "stage_a"),
+        )
+        ck_a = last_ckpt(dir_a)
     dir_b = run_stage(
         "stage B (temp1-0.001-loss1e-4-inifromhard)",
         ["--finetune", ck_a,
