@@ -135,15 +135,22 @@ def main():
             os.path.join(WORKDIR, "stage_a"),
         )
         ck_a = last_ckpt(dir_a)
-    dir_b = run_stage(
-        "stage B (temp1-0.001-loss1e-4-inifromhard)",
-        ["--finetune", ck_a,
-         "--temp", "1.0", "--end-temp", "0.001",
-         "--epoch-ini", "0", "--epoch-hard", str(EPOCHS_B),
-         "--epochs", str(EPOCHS_B)],
-        os.path.join(WORKDIR, "stage_b"),
-    )
-    ck_b = last_ckpt(dir_b)
+    # STAGE_B_CKPT: re-run only the analysis/freeze phase on a finished
+    # stage-B checkpoint (e.g. after fixing a freeze-phase bug).
+    ck_b = os.environ.get("STAGE_B_CKPT", "")
+    if ck_b:
+        assert os.path.exists(ck_b), ck_b
+        dir_b = os.path.dirname(ck_b)
+    else:
+        dir_b = run_stage(
+            "stage B (temp1-0.001-loss1e-4-inifromhard)",
+            ["--finetune", ck_a,
+             "--temp", "1.0", "--end-temp", "0.001",
+             "--epoch-ini", "0", "--epoch-hard", str(EPOCHS_B),
+             "--epochs", str(EPOCHS_B)],
+            os.path.join(WORKDIR, "stage_b"),
+        )
+        ck_b = last_ckpt(dir_b)
     print(f"stage A ckpt: {ck_a}\nstage B ckpt: {ck_b}", flush=True)
 
     # ---- load the final model and measure held-out hard-path ratios ----
@@ -206,8 +213,12 @@ def main():
         flax.serialization.to_state_dict(params))
     sel_stats = select_subtree(
         flax.serialization.to_state_dict(model_state.get("batch_stats", {})))
+    # NB: only the numeric subtree goes through tree_map(np.asarray) — a
+    # numpy str_ array in provenance round-trips to an unreadable 'str160'
+    # dtype under flax msgpack (caught by the CPU smoke run, round 4)
     asset = {
-        "subtree": {"params": sel_params, "batch_stats": sel_stats},
+        "subtree": jax.tree_util.tree_map(
+            np.asarray, {"params": sel_params, "batch_stats": sel_stats}),
         "branch_ratios": ratios.astype(np.float32),
         "provenance": {
             "recipe": "README.md:83-89 two-stage (hard-loss1e-4 -> "
@@ -227,8 +238,7 @@ def main():
     suffix = "" if ENCODER == "resnet34" else f"_{ENCODER}"
     path = os.path.join(out_dir, f"gate_recipe{suffix}.msgpack")
     with open(path, "wb") as f:
-        f.write(flax.serialization.msgpack_serialize(
-            jax.tree_util.tree_map(np.asarray, asset)))
+        f.write(flax.serialization.msgpack_serialize(asset))
     print(f"saved {path}", flush=True)
 
     log_dir = os.path.join(out_dir, f"gate_recipe{suffix}_logs")
