@@ -76,6 +76,13 @@ class ESANetConfig:
     # tools/perf_stemconv.py. The round-1 "3-channel convs waste the MXU"
     # conclusion did not survive contention-robust re-measurement.
     s2d_stem: bool = False
+    # int8 post-training quantization for serving (nn/quant.py):
+    # None (float, default) | 'calib' (float + activation-scale capture
+    # into the mutable 'quant' collection) | 'int8' (quantized convs in
+    # encoder stages, decoder ConvBNActs/blocks, skip layers, conv_out).
+    # Float checkpoints load unchanged into quant models (identical param
+    # layout); calibrate with utils.quantize.calibrate.
+    quant: Optional[str] = None
 
     @property
     def act(self) -> Callable:
@@ -95,17 +102,19 @@ class DecoderModule(nn.Module):
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
     pallas_upsample: bool = False
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
         out = ConvBNAct(
             self.channels_dec, 3, activation=self.activation, dtype=self.dtype,
-            name="conv3x3",
+            quant=self.quant, name="conv3x3",
         )(x, train)
         for i in range(self.nr_blocks):
             out = NonBottleneck1D(
                 self.channels_dec, activation=self.activation, dtype=self.dtype,
-                use_pallas=self.use_pallas, name=f"decoder_blocks{i}",
+                use_pallas=self.use_pallas, quant=self.quant,
+                name=f"decoder_blocks{i}",
             )(out, train)
         # Always trace the side conv so its params exist in every mode; when
         # the caller discards out_side (eval) XLA dead-code-eliminates it.
@@ -136,6 +145,7 @@ class Decoder(nn.Module):
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
     pallas_upsample: bool = False
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, enc_outs, train: bool = False, low_res: bool = False):
@@ -143,24 +153,25 @@ class Decoder(nn.Module):
         out, down_32 = DecoderModule(
             self.channels_decoder[0], self.nr_decoder_blocks[0], self.num_classes,
             self.upsampling_mode, self.encoder_decoder_fusion, self.activation,
-            self.dtype, self.use_pallas, self.pallas_upsample,
+            self.dtype, self.use_pallas, self.pallas_upsample, self.quant,
             name="decoder_module_1",
         )(enc_out, skip_16, train)
         out, down_16 = DecoderModule(
             self.channels_decoder[1], self.nr_decoder_blocks[1], self.num_classes,
             self.upsampling_mode, self.encoder_decoder_fusion, self.activation,
-            self.dtype, self.use_pallas, self.pallas_upsample,
+            self.dtype, self.use_pallas, self.pallas_upsample, self.quant,
             name="decoder_module_2",
         )(out, skip_8, train)
         out, down_8 = DecoderModule(
             self.channels_decoder[2], self.nr_decoder_blocks[2], self.num_classes,
             self.upsampling_mode, self.encoder_decoder_fusion, self.activation,
-            self.dtype, self.use_pallas, self.pallas_upsample,
+            self.dtype, self.use_pallas, self.pallas_upsample, self.quant,
             name="decoder_module_3",
         )(out, skip_4, train)
 
         out = torch_conv(
-            self.num_classes, 3, padding=1, dtype=self.dtype, name="conv_out"
+            self.num_classes, 3, padding=1, dtype=self.dtype, name="conv_out",
+            quant=self.quant,
         )(out)
         if low_res and not train:
             # Serving fast path: return the H/4 logits and skip the two
@@ -198,6 +209,7 @@ def build_encoder(cfg: ESANetConfig, which: str, name: str) -> ResNet:
         remat=cfg.remat,
         s2d_stem=cfg.s2d_stem,
         use_pallas=cfg.use_pallas,
+        quant=cfg.quant,
     )
 
 
@@ -230,15 +242,18 @@ class _DualEncoderParts(nn.Module):
         cd = cfg.channels_decoder
         if cfg.encoder_decoder_fusion == "add":
             self.skip_layer1 = (
-                ConvBNAct(cd[2], 1, activation=cfg.act, dtype=cfg.dtype, name="skip_layer1")
+                ConvBNAct(cd[2], 1, activation=cfg.act, dtype=cfg.dtype,
+                          quant=cfg.quant, name="skip_layer1")
                 if ch[4] != cd[2] else None
             )
             self.skip_layer2 = (
-                ConvBNAct(cd[1], 1, activation=cfg.act, dtype=cfg.dtype, name="skip_layer2")
+                ConvBNAct(cd[1], 1, activation=cfg.act, dtype=cfg.dtype,
+                          quant=cfg.quant, name="skip_layer2")
                 if ch[8] != cd[1] else None
             )
             self.skip_layer3 = (
-                ConvBNAct(cd[0], 1, activation=cfg.act, dtype=cfg.dtype, name="skip_layer3")
+                ConvBNAct(cd[0], 1, activation=cfg.act, dtype=cfg.dtype,
+                          quant=cfg.quant, name="skip_layer3")
                 if ch[16] != cd[0] else None
             )
         else:
@@ -267,6 +282,7 @@ class _DualEncoderParts(nn.Module):
             dtype=cfg.dtype,
             use_pallas=cfg.use_pallas,
             pallas_upsample=cfg.pallas_upsample,
+            quant=cfg.quant,
             name="decoder",
         )
 

@@ -57,24 +57,26 @@ class BasicBlock(nn.Module):
     activation: Callable = jax.nn.relu
     dtype: Optional[Dtype] = None
     expansion: int = 1
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
         out = torch_conv(
             self.planes, 3, stride=self.stride, padding=1, use_bias=False,
-            dtype=self.dtype, name="conv1",
+            dtype=self.dtype, name="conv1", quant=self.quant,
         )(x)
         out = _bn("bn1", BN_EPS, self.dtype, train)(out)
         out = self.activation(out)
         out = torch_conv(
-            self.planes, 3, padding=1, use_bias=False, dtype=self.dtype, name="conv2"
+            self.planes, 3, padding=1, use_bias=False, dtype=self.dtype,
+            name="conv2", quant=self.quant,
         )(out)
         out = _bn("bn2", BN_EPS, self.dtype, train)(out)
         if self.has_downsample:
             identity = torch_conv(
                 self.planes, 1, stride=self.stride, use_bias=False,
-                dtype=self.dtype, name="ds_conv",
+                dtype=self.dtype, name="ds_conv", quant=self.quant,
             )(x)
             identity = _bn("ds_bn", BN_EPS, self.dtype, train)(identity)
         return self.activation(out + identity)
@@ -100,12 +102,14 @@ class NonBottleneck1D(nn.Module):
     dtype: Optional[Dtype] = None
     expansion: int = 1
     use_pallas: bool = False
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dilation
         if (
             self.use_pallas
+            and self.quant is None
             and not train
             and self.stride == 1
             and not self.has_downsample
@@ -116,36 +120,36 @@ class NonBottleneck1D(nn.Module):
             and jax.default_backend() == "tpu"
         ):
             return self._fused_eval(x)
-        out = nn.Conv(
-            self.planes, (3, 1), strides=(self.stride, 1),
-            padding=((1, 1), (0, 0)), use_bias=True, dtype=self.dtype,
-            name="conv3x1_1",
+        out = torch_conv(
+            self.planes, (3, 1), stride=(self.stride, 1), padding=(1, 0),
+            use_bias=True, dtype=self.dtype, name="conv3x1_1",
+            quant=self.quant,
         )(x)
         out = self.activation(out)
-        out = nn.Conv(
-            self.planes, (1, 3), strides=(1, self.stride),
-            padding=((0, 0), (1, 1)), use_bias=True, dtype=self.dtype,
-            name="conv1x3_1",
+        out = torch_conv(
+            self.planes, (1, 3), stride=(1, self.stride), padding=(0, 1),
+            use_bias=True, dtype=self.dtype, name="conv1x3_1",
+            quant=self.quant,
         )(out)
         out = _bn("bn1", 1e-3, self.dtype, train)(out)
         out = self.activation(out)
-        out = nn.Conv(
-            self.planes, (3, 1), padding=((d, d), (0, 0)),
-            kernel_dilation=(d, 1), use_bias=True, dtype=self.dtype,
-            name="conv3x1_2",
+        out = torch_conv(
+            self.planes, (3, 1), padding=(d, 0), dilation=(d, 1),
+            use_bias=True, dtype=self.dtype, name="conv3x1_2",
+            quant=self.quant,
         )(out)
         out = self.activation(out)
-        out = nn.Conv(
-            self.planes, (1, 3), padding=((0, 0), (d, d)),
-            kernel_dilation=(1, d), use_bias=True, dtype=self.dtype,
-            name="conv1x3_2",
+        out = torch_conv(
+            self.planes, (1, 3), padding=(0, d), dilation=(1, d),
+            use_bias=True, dtype=self.dtype, name="conv1x3_2",
+            quant=self.quant,
         )(out)
         out = _bn("bn2", 1e-3, self.dtype, train)(out)
         identity = x
         if self.has_downsample:
             identity = torch_conv(
                 self.planes, 1, stride=self.stride, use_bias=False,
-                dtype=self.dtype, name="ds_conv",
+                dtype=self.dtype, name="ds_conv", quant=self.quant,
             )(x)
             identity = _bn("ds_bn", BN_EPS, self.dtype, train)(identity)
         return self.activation(out + identity)
@@ -207,27 +211,32 @@ class Bottleneck(nn.Module):
     activation: Callable = jax.nn.relu
     dtype: Optional[Dtype] = None
     expansion: int = 4
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = torch_conv(self.planes, 1, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = torch_conv(
+            self.planes, 1, use_bias=False, dtype=self.dtype, name="conv1",
+            quant=self.quant,
+        )(x)
         out = _bn("bn1", BN_EPS, self.dtype, train)(out)
         out = self.activation(out)
         out = torch_conv(
             self.planes, 3, stride=self.stride, padding=1, use_bias=False,
-            dtype=self.dtype, name="conv2",
+            dtype=self.dtype, name="conv2", quant=self.quant,
         )(out)
         out = _bn("bn2", BN_EPS, self.dtype, train)(out)
         out = self.activation(out)
         out = torch_conv(
-            self.planes * 4, 1, use_bias=False, dtype=self.dtype, name="conv3"
+            self.planes * 4, 1, use_bias=False, dtype=self.dtype,
+            name="conv3", quant=self.quant,
         )(out)
         out = _bn("bn3", BN_EPS, self.dtype, train)(out)
         if self.has_downsample:
             identity = torch_conv(
                 self.planes * 4, 1, stride=self.stride, use_bias=False,
-                dtype=self.dtype, name="ds_conv",
+                dtype=self.dtype, name="ds_conv", quant=self.quant,
             )(x)
             identity = _bn("ds_bn", BN_EPS, self.dtype, train)(identity)
         return self.activation(out + identity)
@@ -322,6 +331,7 @@ class ResNetStage(nn.Module):
     activation: Callable = jax.nn.relu
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -334,6 +344,7 @@ class ResNetStage(nn.Module):
             has_downsample=needs_ds,
             activation=self.activation,
             dtype=self.dtype,
+            quant=self.quant,
             name="block0",
             **extra,
         )(x, train)
@@ -342,6 +353,7 @@ class ResNetStage(nn.Module):
                 self.planes,
                 activation=self.activation,
                 dtype=self.dtype,
+                quant=self.quant,
                 name=f"block{i}",
                 **extra,
             )(x, train)
@@ -366,6 +378,10 @@ class ResNet(nn.Module):
     remat: bool = False  # rematerialize stages (jax.checkpoint) for training
     s2d_stem: bool = False  # space-to-depth stem (see ``stem``)
     use_pallas: bool = False  # fused NBt1D kernel on small eval maps
+    # int8 PTQ serving ('calib' / 'int8', nn/quant.py) — applies to the
+    # stage convs; the stem conv keeps float (its input is the image and
+    # its OUTPUT bytes are set by the consumer, not the conv dtype)
+    quant: Optional[str] = None
 
     @property
     def expansion(self) -> int:
@@ -401,6 +417,7 @@ class ResNet(nn.Module):
                     activation=self.activation,
                     dtype=self.dtype,
                     use_pallas=self.use_pallas,
+                    quant=self.quant,
                     name=f"layer{i + 1}",
                 )
             )
@@ -487,6 +504,7 @@ def make_resnet(
     remat: bool = False,
     s2d_stem: bool = False,
     use_pallas: bool = False,
+    quant: Optional[str] = None,
 ) -> ResNet:
     """Factory mirroring the reference constructors: ``resnet18/34`` honor the
     ``block`` choice; ``resnet50`` always uses Bottleneck (resnet.py:450-466).
@@ -507,5 +525,6 @@ def make_resnet(
         remat=remat,
         s2d_stem=s2d_stem,
         use_pallas=use_pallas,
+        quant=quant,
         **kwargs,
     )

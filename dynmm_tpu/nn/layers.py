@@ -76,8 +76,14 @@ def torch_conv(
     dilation: Sequence[int] | int = 1,
     dtype: Optional[Dtype] = None,
     name: Optional[str] = None,
-) -> nn.Conv:
-    """``nn.Conv`` configured with torch-style explicit symmetric padding."""
+    quant: Optional[str] = None,
+) -> nn.Module:
+    """``nn.Conv`` configured with torch-style explicit symmetric padding.
+
+    ``quant`` ('calib' / 'int8', see ``nn/quant.py``) swaps in the
+    variable-layout-identical ``QConv``; ``None`` (default) keeps the plain
+    ``nn.Conv`` so existing float graphs are byte-for-byte unchanged.
+    """
     if isinstance(kernel_size, int):
         kernel_size = (kernel_size, kernel_size)
     if isinstance(stride, int):
@@ -86,7 +92,7 @@ def torch_conv(
         padding = (padding, padding)
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
-    return nn.Conv(
+    kwargs = dict(
         features=features,
         kernel_size=tuple(kernel_size),
         strides=tuple(stride),
@@ -97,6 +103,11 @@ def torch_conv(
         dtype=dtype,
         name=name,
     )
+    if quant is not None:
+        from dynmm_tpu.nn.quant import QConv
+
+        return QConv(quant=quant, **kwargs)
+    return nn.Conv(**kwargs)
 
 
 def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
@@ -215,6 +226,7 @@ class ConvBNAct(nn.Module):
     dilation: int = 1
     stride: int = 1
     dtype: Optional[Dtype] = None
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -228,6 +240,7 @@ class ConvBNAct(nn.Module):
             dilation=self.dilation,
             dtype=self.dtype,
             name="conv",
+            quant=self.quant,
         )(x)
         x = TorchBatchNorm(
             use_running_average=not train,
@@ -245,6 +258,7 @@ class ConvBN(nn.Module):
     features: int
     kernel_size: int
     dtype: Optional[Dtype] = None
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -255,6 +269,7 @@ class ConvBN(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             name="conv",
+            quant=self.quant,
         )(x)
         x = TorchBatchNorm(
             use_running_average=not train,
