@@ -111,6 +111,14 @@ class ArgumentParserRGBDSegmentation(argparse.ArgumentParser):
                           help="compute dtype (params stay float32)")
         self.add_argument("--use-pallas", action="store_true",
                           help="enable fused Pallas kernels on the TPU path")
+        self.add_argument("--quant", default="none",
+                          choices=["none", "int8"],
+                          help="int8 post-training quantization for serving "
+                               "(eval/predict; abs-max calibration on the "
+                               "first --calib_batches clean batches)")
+        self.add_argument("--calib_batches", "--calib-batches", type=int,
+                          default=8,
+                          help="calibration batches for --quant int8")
         self.add_argument("--grad-accum", type=int, default=1,
                           help="accumulate gradients over N batches per step")
         self.add_argument("--mesh-data", type=int, default=0,

@@ -38,6 +38,8 @@ def build_config(args, n_classes: int) -> ESANetConfig:
         upsampling=args.upsampling,
         dtype=dtype,
         use_pallas=getattr(args, "use_pallas", False),
+        quant=(getattr(args, "quant", "none")
+               if getattr(args, "quant", "none") != "none" else None),
     )
 
 
@@ -51,6 +53,9 @@ def build_model(args, n_classes: int):
         assert len(block_rule) == 4
         if args.global_gate:
             return SkipGateESANet(cfg)
+        if cfg.quant is not None:
+            raise NotImplementedError(
+                "--quant supports global-gate / static models only")
         return SkipESANet(cfg, block_rule=block_rule)
     if args.modality == "rgbd":
         return ESANet(cfg)

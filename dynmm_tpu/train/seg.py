@@ -422,6 +422,46 @@ class SegTrainer:
             logs[f"loss_train_down_{r}"] = float(per_scales[i + 1])
         return state, logs
 
+    def calibrate_quant(self, calib_model, state, loader,
+                        n_batches: int = 8):
+        """Abs-max int8 PTQ calibration (``utils/quantize.py``) over the
+        first ``n_batches`` CLEAN batches of ``loader``, with the exact
+        serving input prep (modality selection, ``--packed_stem`` packing).
+        ``calib_model`` is the ``quant='calib'`` twin of ``self.model``;
+        returns the ``quant`` collection to merge into
+        ``state['model_state']`` before evaluating/serving the
+        ``quant='int8'`` twin. Global-gate / static models only (matching
+        ``build_model``'s --quant guard); hard-gate forward, the serving
+        regime the scales must cover."""
+        import jax.numpy as jnp
+
+        from dynmm_tpu.utils.quantize import calibrate
+
+        cfg = self.cfg
+
+        def batches():
+            n = 0
+            for batch in loader:
+                if n >= n_batches:
+                    break
+                image, depth = batch["image"], batch["depth"]
+                if (cfg.packed_stem and image.shape[-1] == 3
+                        and image.shape[1] % 2 == 0
+                        and image.shape[2] % 2 == 0):
+                    from dynmm_tpu.models.resnet import space_to_depth_host
+
+                    image = space_to_depth_host(np.asarray(image))
+                    depth = space_to_depth_host(np.asarray(depth))
+                yield tuple(jnp.asarray(x)
+                            for x in self._inputs(image, depth))
+                n += 1
+
+        variables = {"params": state["params"], **state["model_state"]}
+        kwargs = {"train": False}
+        if cfg.dynamic and cfg.global_gate:
+            kwargs.update(hard=True, baseline=bool(cfg.baseline))
+        return calibrate(calib_model, variables, batches(), **kwargs)
+
     def validate(
         self,
         state,

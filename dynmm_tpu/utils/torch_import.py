@@ -294,7 +294,12 @@ def load_any_checkpoint(path: str, model, params: dict, model_state: dict):
     import jax
 
     new_params = flax.serialization.from_state_dict(params, state["params"])
+    # collections the target model declares but the checkpoint predates
+    # (e.g. the 'quant' calibration scales of an int8 serving twin) keep
+    # their template values; everything the checkpoint has is restored
+    ckpt_ms = state["model_state"]
+    extra = {k: v for k, v in model_state.items() if k not in ckpt_ms}
     new_model_state = flax.serialization.from_state_dict(
-        model_state, state["model_state"]
+        {k: v for k, v in model_state.items() if k in ckpt_ms}, ckpt_ms
     )
-    return new_params, new_model_state
+    return new_params, {**new_model_state, **extra}

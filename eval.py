@@ -87,6 +87,19 @@ def main():
     )
     print(f"Loaded checkpoint from {args.ckpt_path}")
 
+    if getattr(args, "quant", "none") == "int8":
+        # abs-max PTQ calibration on clean batches, then score the int8
+        # twin — the accuracy knob is quantified exactly like --dtype /
+        # --output_res (same checkpoint, same metric chain)
+        import dataclasses
+
+        calib_model = model.clone(
+            cfg=dataclasses.replace(model.cfg, quant="calib", dtype=None))
+        qcoll = trainer.calibrate_quant(
+            calib_model, state, data_loader, n_batches=args.calib_batches)
+        state["model_state"] = {**state["model_state"], "quant": qcoll}
+        print(f"Calibrated int8 scales on {args.calib_batches} batches")
+
     result = np.zeros(args.num_runs)
     cms: dict = {}
     for r in range(args.num_runs):

@@ -110,6 +110,27 @@ def main():
     variables = {"params": params, **model_state}
     print(f"Loaded checkpoint from {args.ckpt_path}")
 
+    if getattr(args, "quant", "none") == "int8":
+        # abs-max PTQ calibration on clean preprocessed batches (packed
+        # exactly like the serving feed), then serve the int8 twin
+        import dataclasses
+
+        from dynmm_tpu.utils.quantize import calibrate
+
+        calib_model = model.clone(
+            cfg=dataclasses.replace(model.cfg, quant="calib", dtype=None))
+
+        def _calib_batches():
+            for i, b in enumerate(loader):
+                if i >= args.calib_batches:
+                    break
+                yield (jnp.asarray(b["image"]), jnp.asarray(b["depth"]))
+
+        qcoll = calibrate(calib_model, variables, _calib_batches(),
+                          train=False, hard=True)
+        variables = {**variables, "quant": qcoll}
+        print(f"Calibrated int8 scales on {args.calib_batches} batches")
+
     if args.serve_mode in ("switch", "switch_host") and args.batch_size != 1:
         parser.error(f"--serve_mode {args.serve_mode} requires --batch_size 1 "
                      "(forward_switch routes the whole batch by sample 0)")

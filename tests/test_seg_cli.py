@@ -355,3 +355,43 @@ def test_eval_cli_bf16(tmp_path):
     )
     assert result.returncode == 0, result.stderr[-4000:]
     assert "Mean" in result.stdout
+
+
+def test_eval_cli_int8(tmp_path):
+    """--quant int8: abs-max calibration on clean batches, then the int8
+    twin scores through the same metric chain (the accuracy knob for the
+    quantized serving path, nn/quant.py)."""
+    result = run_cli(
+        "train.py",
+        TINY_FLAGS
+        + ["--dynamic", "--global-gate", "--epochs", "1", "--eval-every", "1",
+           "--results_dir", str(tmp_path)],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    ckpts = glob.glob(str(tmp_path / "synthetic" / "*" / "ckpt_epoch_*.msgpack"))
+    assert ckpts
+
+    result = run_cli(
+        "eval.py",
+        TINY_FLAGS + ["--dynamic", "--global-gate", "--hard",
+                      "--quant", "int8", "--calib_batches", "2",
+                      "--ckpt_path", ckpts[0]],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    assert "Calibrated int8 scales" in result.stdout
+    assert "Mean" in result.stdout
+
+    # predict.py serves the int8 twin (batchmax strategy, quarter-res map)
+    result = run_cli(
+        "predict.py",
+        TINY_FLAGS + ["--ckpt_path", ckpts[0], "--quant", "int8",
+                      "--calib_batches", "1", "--num", "2",
+                      "--output_res", "quarter",
+                      "--out_dir", str(tmp_path / "preds_int8")],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    assert "Calibrated int8 scales" in result.stdout
+    assert "path distribution" in result.stdout

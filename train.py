@@ -39,6 +39,10 @@ def main():
     parser.set_common_args()
     args = parser.parse_args()
 
+    if getattr(args, "quant", "none") != "none":
+        parser.error("--quant is a serving-time knob (eval.py/predict.py); "
+                     "training stays float")
+
     if args.batch_size != 8:
         args.lr = args.lr * args.batch_size / 8
         warnings.warn(
