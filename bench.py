@@ -685,9 +685,53 @@ def main():
             classmap_fn(dense_q4_fn(model_bf16))),
     }
     packed_args = (variables, rgb_p, depth_p)
+    args_map = {k: packed_args for k in runs if "_packed" in k}
+
+    # ranked candidates for the best_classmap headline (min over present)
+    _CLASSMAP_CANDS = (
+        "routed_bf16_packed_q4_classmap",
+        "dense_bf16_packed_q4_classmap",
+        "int8_routed_packed_q4_classmap",
+        "int8_dense_packed_q4_classmap",
+    )
+
+    # int8 PTQ serving chains (nn/quant.py; accuracy scored by
+    # `eval.py --quant int8`): abs-max calibration on 2 eval-stream batches,
+    # then the quantized twins join the same interleave set. Guarded — the
+    # bench must survive any int8 lowering failure. BENCH_INT8=0 skips.
+    if os.environ.get("BENCH_INT8", "1") not in ("", "0", "false"):
+        try:
+            from dynmm_tpu.utils.quantize import calibrate, quant_sanity
+
+            model_calib = _flagship(h, w, quant="calib")
+            model_int8 = _flagship(h, w, dtype=jnp.bfloat16, quant="int8")
+
+            def _calib_batches():
+                for i in range(2):
+                    if gate_kind == "recipe":
+                        rb, db = make_recipe_eval_batch(BS, h, w,
+                                                        seed=4321 + i)
+                    else:
+                        rb, db = make_eval_batch(
+                            np.random.default_rng(4321 + i), BS, h, w)
+                    yield jnp.asarray(rb), jnp.asarray(db)
+
+            qcoll = calibrate(model_calib, variables, _calib_batches(),
+                              train=False, hard=True)
+            v_int8 = {**variables, "quant": qcoll}
+            log(f"int8: calibrated {quant_sanity(qcoll)} scales")
+            int8_args = (v_int8, rgb_p, depth_p)
+            for key, fn in (
+                ("int8_dense_packed_q4_classmap", dense_q4_fn(model_int8)),
+                ("int8_routed_packed_q4_classmap", routed_q4_fn(model_int8)),
+            ):
+                runs[key] = make_scan_bench(classmap_fn(fn))
+                args_map[key] = int8_args
+        except Exception as e:
+            log(f"int8 serving candidates failed: {e}")
+
     meds = measure_interleaved(
-        runs, nop, variables, rgb, depth,
-        args_map={k: packed_args for k in runs if "_packed" in k},
+        runs, nop, variables, rgb, depth, args_map=args_map,
     )
     for k, t in meds.items():
         log(f"bs={BS} {k}: {t*1e3:.2f} ms/batch ({BS/t:.1f} fps)")
@@ -874,21 +918,26 @@ def main():
                     "classmap_q4_vs_dense_fp32": round(
                         meds["dense_fp32_classmap"]
                         / meds["routed_bf16_packed_q4_classmap"], 4),
+                    # int8 PTQ chains (present when the quantized twins
+                    # compiled; accuracy knob: eval.py --quant int8)
+                    **{f"{k}_fps": round(BS / meds[k], 1)
+                       for k in ("int8_dense_packed_q4_classmap",
+                                 "int8_routed_packed_q4_classmap")
+                       if k in meds},
                     # best end-to-end class-map chain vs the reference-dtype
                     # dense full-res chain (dense bf16 q4 wins on the R34
                     # flagship — routed_vs_dense physics, docs/DESIGN.md)
                     "best_classmap_vs_dense_fp32": round(
                         meds["dense_fp32_classmap"]
-                        / min(meds["routed_bf16_packed_q4_classmap"],
-                              meds["dense_bf16_packed_q4_classmap"]), 4),
+                        / min(meds[k] for k in _CLASSMAP_CANDS if k in meds),
+                        4),
                     # which candidate won the min() above — the per-candidate
                     # *_classmap_fps keys are the cross-round trend series;
                     # the min is a convenience headline only (ADVICE r3)
-                    "best_classmap_candidate": (
-                        "routed_bf16_packed_q4"
-                        if meds["routed_bf16_packed_q4_classmap"]
-                        <= meds["dense_bf16_packed_q4_classmap"]
-                        else "dense_bf16_packed_q4"),
+                    "best_classmap_candidate": min(
+                        (k for k in _CLASSMAP_CANDS if k in meds),
+                        key=lambda k: meds[k],
+                    ).replace("_classmap", ""),
                     **bs1_series,
                     # the honest same-dtype footnote: fusion-level routing
                     # vs dense at fp32 on the R34 flagship (<1: the
