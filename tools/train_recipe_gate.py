@@ -121,8 +121,11 @@ def main():
     if ck_a:
         assert os.path.exists(ck_a), ck_a
         dir_a = os.path.dirname(ck_a)
+        # only clear a stale stage_b when we are about to RE-TRAIN it —
+        # with STAGE_B_CKPT set the existing dir IS the input (an earlier
+        # ordering bug here deleted a finished stage-B checkpoint)
         stale_b = os.path.join(WORKDIR, "stage_b")
-        if os.path.exists(stale_b):
+        if not os.environ.get("STAGE_B_CKPT") and os.path.exists(stale_b):
             shutil.rmtree(stale_b)
     else:
         if os.path.exists(WORKDIR):
