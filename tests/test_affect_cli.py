@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full CLI/parity/mesh drive; -m "not slow" skips
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -200,6 +200,7 @@ class TestCumulativeWeightSemantics:
         )
         assert 0 <= k <= 4
 
+    @pytest.mark.slow
     def test_gradients_flow_to_gate(self, skipgate, rng):
         """Straight-through: grads must reach the gate conv params even with
         hard=True."""
@@ -219,6 +220,7 @@ class TestCumulativeWeightSemantics:
 
 
 class TestResNet50Fusion:
+    @pytest.mark.slow
     def test_skipgate_bottleneck_path(self):
         """ResNet50 (Bottleneck, expansion 4) through the full gated model:
         channel bookkeeping, skip projections and the R50 flop table."""

@@ -19,6 +19,8 @@ from dynmm_tpu.models.esanet import ESANet, ESANetConfig
 from dynmm_tpu.models.skip_gate import SkipGateESANet
 from dynmm_tpu.nn.layers import Upsample
 
+pytestmark = pytest.mark.slow  # full CLI/parity/mesh drive; -m "not slow" skips
+
 CFG = ESANetConfig(
     height=64, width=64, num_classes=5,
     encoder_rgb="resnet18", encoder_depth="resnet18",

@@ -21,6 +21,8 @@ from dynmm_tpu.train.seg import SegTrainConfig, SegTrainer
 from dynmm_tpu.utils.checkpoint import load_orbax, save_orbax
 from tests.test_seg_training import SMALL, make_loaders
 
+pytestmark = pytest.mark.slow  # full CLI/parity/mesh drive; -m "not slow" skips
+
 
 @pytest.fixture(scope="module")
 def trained_state():

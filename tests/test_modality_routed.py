@@ -10,6 +10,8 @@ import pytest
 from dynmm_tpu.data.affect import synthetic_mosei_loaders
 from dynmm_tpu.models.modality import IMDBDynMMNet, MoseiDynMMNetV2
 
+pytestmark = pytest.mark.slow  # full CLI/parity/mesh drive; -m "not slow" skips
+
 
 @pytest.fixture(scope="module")
 def mosei():

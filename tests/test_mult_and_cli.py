@@ -58,6 +58,7 @@ class TestMULT:
          ["--synthetic", "--n-epochs", "1", "--mod", "0"]),
     ],
 )
+@pytest.mark.slow
 def test_cli_smoke(tmp_path, script, args):
     """The modality CLIs must run end-to-end on synthetic data (1 epoch)."""
     env = dict(os.environ)

@@ -13,6 +13,8 @@ from dynmm_tpu.models.skip_gate import SkipGateESANet
 from dynmm_tpu.parallel import make_mesh, replicate, shard_batch, shard_params
 from dynmm_tpu.train.seg_losses import multiscale_ce
 
+pytestmark = pytest.mark.slow  # full CLI/parity/mesh drive; -m "not slow" skips
+
 TINY = ESANetConfig(
     height=32, width=32, num_classes=3,
     encoder_rgb="resnet18", encoder_depth="resnet18",

@@ -14,6 +14,10 @@ from dynmm_tpu.utils.torch_export import save_torch_checkpoint
 from dynmm_tpu.utils.torch_import import import_torch_checkpoint
 from tests.test_seg_training import SMALL, make_loaders
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full CLI/parity/mesh drive; -m "not slow" skips
+
 
 def test_torch_roundtrip_preserves_miou_and_gate_selections(tmp_path):
     train_loader, valid_loader = make_loaders(n_train=4, n_test=4, batch=2)

@@ -133,6 +133,7 @@ def _tiny_inputs(rng, bs=2, h=64, w=64):
     return jnp.asarray(rgb), jnp.asarray(depth)
 
 
+@pytest.mark.slow
 def test_flagship_int8_serving_all_strategies(rng, tiny_cfg):
     """Quantized SkipGateESANet: every serving strategy runs, agrees with
     its float twin, and the gate decisions are preserved."""

@@ -98,6 +98,7 @@ def test_compact_matches_batched_switch(setup):
     )
 
 
+@pytest.mark.slow
 def test_compact_odd_batch(setup):
     """Non-power-of-2 batch sizes get a bs-sized terminal capacity."""
     model, variables, _, _ = setup
@@ -130,6 +131,7 @@ def test_compact_live_gate(setup):
     )
 
 
+@pytest.mark.slow
 def test_compact_bf16_selection_identical(setup):
     """bf16 serving (VERDICT r2 item 6): routed-compact and switch paths in
     bf16 activations keep hard-gate selections identical to the fp32 dense

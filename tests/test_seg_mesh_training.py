@@ -9,6 +9,10 @@ from dynmm_tpu.parallel import make_mesh
 from dynmm_tpu.train.seg import SegTrainConfig, SegTrainer
 from tests.test_seg_training import SMALL, make_loaders
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full CLI/parity/mesh drive; -m "not slow" skips
+
 
 def test_mesh_train_epoch():
     train_loader, valid_loader = make_loaders(n_train=8, batch=4)

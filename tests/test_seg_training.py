@@ -16,6 +16,8 @@ from dynmm_tpu.models.skip_local import SkipESANet
 from dynmm_tpu.models.one_modality import ESANetOneModality
 from dynmm_tpu.train.seg import SegTrainConfig, SegTrainer
 
+pytestmark = pytest.mark.slow  # full CLI/parity/mesh drive; -m "not slow" skips
+
 H = W = 64
 SMALL = ESANetConfig(
     height=H, width=W, num_classes=5,

@@ -15,6 +15,10 @@ from dynmm_tpu.models.skip_gate import SkipGateESANet
 from dynmm_tpu.utils.serve_export import (export_serving_fn, load_serving_fn,
                                           save_serving_artifact)
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full CLI/parity/mesh drive; -m "not slow" skips
+
 CFG = ESANetConfig(
     height=64, width=64, num_classes=5,
     encoder_rgb="resnet18", encoder_depth="resnet18",

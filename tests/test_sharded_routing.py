@@ -14,6 +14,8 @@ from dynmm_tpu.models.skip_gate import SkipGateESANet
 from dynmm_tpu.parallel.mesh import make_mesh
 from dynmm_tpu.parallel.routing import make_sharded_routed_forward
 
+pytestmark = pytest.mark.slow  # full CLI/parity/mesh drive; -m "not slow" skips
+
 H = W = 64
 
 

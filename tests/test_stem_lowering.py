@@ -64,6 +64,7 @@ class TestStemLowering:
                       method=enc.stem)
 
 
+@pytest.mark.slow
 class TestPackedFullModel:
     def test_skipgate_forward_packed_matches_raw(self):
         """Whole-model check: SkipGateESANet fed space_to_depth_host-packed

@@ -63,6 +63,7 @@ class TestIMDBDynMMNet:
 
 
 class TestEndToEndTraining:
+    @pytest.mark.slow
     def test_loss_decreases_and_eval_pipeline(self, loaders):
         train_loader, valid_loader, test_loader = loaders
         model = IMDBDynMMNet()

@@ -70,6 +70,7 @@ class TestMoseiDynMM:
         )
         np.testing.assert_array_equal(np.asarray(w), np.asarray(w2))
 
+    @pytest.mark.slow
     def test_training_step_and_posneg_eval(self, loaders):
         train_loader, _, test_loader = loaders
         model = MoseiDynMMNetV2()

@@ -39,6 +39,8 @@ from tests.test_torch_train_parity import (
     ref_modules,  # noqa: F401  (fixture re-export)
 )
 
+pytestmark = pytest.mark.slow  # full CLI/parity/mesh drive; -m "not slow" skips
+
 H, W = 64, 96
 N_CLASSES = 6
 BS = 2

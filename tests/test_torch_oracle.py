@@ -27,6 +27,8 @@ from dynmm_tpu.models.esanet import ESANet, ESANetConfig
 from dynmm_tpu.models.skip_gate import SkipGateESANet
 from dynmm_tpu.utils.torch_export import export_state_dict
 
+pytestmark = pytest.mark.slow  # full CLI/parity/mesh drive; -m "not slow" skips
+
 REF_ROOT = "/root/reference/FusionDynMM"
 
 

@@ -39,6 +39,8 @@ from dynmm_tpu.train.seg import SegTrainConfig, make_seg_optimizer
 from dynmm_tpu.train.seg_losses import multiscale_ce
 from dynmm_tpu.utils.torch_export import export_state_dict
 
+pytestmark = pytest.mark.slow  # full CLI/parity/mesh drive; -m "not slow" skips
+
 REF_ROOT = "/root/reference/FusionDynMM"
 
 N_CLASSES = 7

@@ -7,6 +7,10 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full CLI/parity/mesh drive; -m "not slow" skips
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
