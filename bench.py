@@ -775,6 +775,14 @@ def main():
             "bs1_switch_bf16_packed": make_scan_bench(
                 lambda v, r, d: model_bf16.apply(
                     v, r, d, method=model_bf16.forward_switch)),
+            # q4 serving chain at bs=1: the in-graph switch BEATS dense here
+            # (tools/perf_bs1_paths.py: 1.40 vs 1.57 ms at the trained mix)
+            # — the skipped depth stages finally outweigh the cond tax once
+            # the tail is quarter-res
+            "bs1_dense_bf16_packed_q4": make_scan_bench(dense_q4_fn(model_bf16)),
+            "bs1_switch_bf16_packed_q4": make_scan_bench(
+                lambda v, r, d: model_bf16.apply(
+                    v, r, d, low_res=True, method=model_bf16.forward_switch)),
         }
         bs1_raw = (variables, rgb[:1], depth[:1])
         bs1_packed = (variables, rgb_p[:1], depth_p[:1])

@@ -109,8 +109,6 @@ class ArgumentParserRGBDSegmentation(argparse.ArgumentParser):
         self.add_argument("--dtype", default="float32",
                           choices=["float32", "bfloat16"],
                           help="compute dtype (params stay float32)")
-        self.add_argument("--use-pallas", action="store_true",
-                          help="enable fused Pallas kernels on the TPU path")
         self.add_argument("--quant", default="none",
                           choices=["none", "int8"],
                           help="int8 post-training quantization for serving "

@@ -37,7 +37,6 @@ def build_config(args, n_classes: int) -> ESANetConfig:
         fuse_depth_in_rgb_encoder=args.fuse_depth_in_rgb_encoder,
         upsampling=args.upsampling,
         dtype=dtype,
-        use_pallas=getattr(args, "use_pallas", False),
         quant=(getattr(args, "quant", "none")
                if getattr(args, "quant", "none") != "none" else None),
     )

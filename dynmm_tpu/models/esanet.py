@@ -62,12 +62,6 @@ class ESANetConfig:
     fuse_depth_in_rgb_encoder: str = "SE-add"
     upsampling: str = "learned-3x3-zeropad"
     dtype: Any = None
-    use_pallas: bool = False  # fused SE kernel on the TPU inference path
-    # Pallas fused learned-3x3 upsample for ONLY the three lane-aligned
-    # decoder-module upsamples (512/256/128 ch; kernels/upsample.py) —
-    # independent of the all-kernels use_pallas flag so the decoder
-    # upsample axis can be measured in isolation (VERDICT r3 item 1a)
-    pallas_upsample: bool = False
     remat: bool = False       # rematerialize encoder stages in training
     # Space-to-depth stem lowering (same math). Default OFF: XLA's native
     # small-channel strided conv path runs the plain 7×7/2 stem in 0.05 ms
@@ -100,8 +94,6 @@ class DecoderModule(nn.Module):
     encoder_decoder_fusion: str = "add"
     activation: Callable = jax.nn.relu
     dtype: Optional[Dtype] = None
-    use_pallas: bool = False
-    pallas_upsample: bool = False
     quant: Optional[str] = None
 
     @nn.compact
@@ -113,8 +105,7 @@ class DecoderModule(nn.Module):
         for i in range(self.nr_blocks):
             out = NonBottleneck1D(
                 self.channels_dec, activation=self.activation, dtype=self.dtype,
-                use_pallas=self.use_pallas, quant=self.quant,
-                name=f"decoder_blocks{i}",
+                quant=self.quant, name=f"decoder_blocks{i}",
             )(out, train)
         # Always trace the side conv so its params exist in every mode; when
         # the caller discards out_side (eval) XLA dead-code-eliminates it.
@@ -123,9 +114,7 @@ class DecoderModule(nn.Module):
         )(out)
         out = Upsample(
             mode=self.upsampling_mode, channels=self.channels_dec,
-            dtype=self.dtype,
-            use_pallas=self.use_pallas or self.pallas_upsample,
-            name="upsample",
+            dtype=self.dtype, name="upsample",
         )(out)
         if self.encoder_decoder_fusion == "add" and skip is not None:
             out = out + skip
@@ -143,8 +132,6 @@ class Decoder(nn.Module):
     encoder_decoder_fusion: str = "add"
     activation: Callable = jax.nn.relu
     dtype: Optional[Dtype] = None
-    use_pallas: bool = False
-    pallas_upsample: bool = False
     quant: Optional[str] = None
 
     @nn.compact
@@ -153,19 +140,19 @@ class Decoder(nn.Module):
         out, down_32 = DecoderModule(
             self.channels_decoder[0], self.nr_decoder_blocks[0], self.num_classes,
             self.upsampling_mode, self.encoder_decoder_fusion, self.activation,
-            self.dtype, self.use_pallas, self.pallas_upsample, self.quant,
+            self.dtype, self.quant,
             name="decoder_module_1",
         )(enc_out, skip_16, train)
         out, down_16 = DecoderModule(
             self.channels_decoder[1], self.nr_decoder_blocks[1], self.num_classes,
             self.upsampling_mode, self.encoder_decoder_fusion, self.activation,
-            self.dtype, self.use_pallas, self.pallas_upsample, self.quant,
+            self.dtype, self.quant,
             name="decoder_module_2",
         )(out, skip_8, train)
         out, down_8 = DecoderModule(
             self.channels_decoder[2], self.nr_decoder_blocks[2], self.num_classes,
             self.upsampling_mode, self.encoder_decoder_fusion, self.activation,
-            self.dtype, self.use_pallas, self.pallas_upsample, self.quant,
+            self.dtype, self.quant,
             name="decoder_module_3",
         )(out, skip_4, train)
 
@@ -185,12 +172,12 @@ class Decoder(nn.Module):
             # full-res graph (upsample1/2 params exist but go unused).
             return out
         out = Upsample(
-            mode=self.upsampling_mode, channels=self.num_classes, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="upsample1",
+            mode=self.upsampling_mode, channels=self.num_classes,
+            dtype=self.dtype, name="upsample1",
         )(out)
         out = Upsample(
-            mode=self.upsampling_mode, channels=self.num_classes, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="upsample2",
+            mode=self.upsampling_mode, channels=self.num_classes,
+            dtype=self.dtype, name="upsample2",
         )(out)
         if train:
             return out, down_8, down_16, down_32
@@ -208,7 +195,6 @@ def build_encoder(cfg: ESANetConfig, which: str, name: str) -> ResNet:
         module_name=name,
         remat=cfg.remat,
         s2d_stem=cfg.s2d_stem,
-        use_pallas=cfg.use_pallas,
         quant=cfg.quant,
     )
 
@@ -235,7 +221,7 @@ class _DualEncoderParts(nn.Module):
                     f"se_layer{i}_mod",
                     SqueezeAndExciteFusionAdd(
                         c, activation=cfg.act, dtype=cfg.dtype,
-                        use_pallas=cfg.use_pallas, name=f"se_layer{i}",
+                        name=f"se_layer{i}",
                     ),
                 )
 
@@ -280,8 +266,6 @@ class _DualEncoderParts(nn.Module):
             encoder_decoder_fusion=cfg.encoder_decoder_fusion,
             activation=cfg.act,
             dtype=cfg.dtype,
-            use_pallas=cfg.use_pallas,
-            pallas_upsample=cfg.pallas_upsample,
             quant=cfg.quant,
             name="decoder",
         )

@@ -86,12 +86,11 @@ class NonBottleneck1D(nn.Module):
     """ERFNet factorized residual block: 3×1 → act → 1×3 → BN → act →
     3×1 → act → 1×3 → BN → +identity → act. BN eps = 1e-3; convs carry bias.
 
-    ``use_pallas`` (opt-in, default off): small lane-aligned eval maps route
-    through the fused Pallas block kernel (``dynmm_tpu.kernels.nbt1d``; one
-    HBM round-trip instead of four). Status: 1.7× over XLA standalone with
-    whole-map tiles, but inside the full model the resident (3,C,C) weight
-    mats (12.6 MB at C=512) squeeze the row tiles until the win inverts —
-    weight streaming is the planned fix, so the XLA path stays the default.
+    A fused whole-block Pallas kernel exists (``dynmm_tpu.kernels.nbt1d``,
+    exactness-tested; 1.7× over XLA standalone with whole-map tiles) but
+    inside the full model the resident (3,C,C) weight mats (12.6 MB at
+    C=512) squeeze the row tiles until the win inverts, so the in-model
+    routing was removed (docs/DESIGN.md, Pallas closure).
     """
 
     planes: int
@@ -101,25 +100,11 @@ class NonBottleneck1D(nn.Module):
     activation: Callable = jax.nn.relu
     dtype: Optional[Dtype] = None
     expansion: int = 1
-    use_pallas: bool = False
     quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dilation
-        if (
-            self.use_pallas
-            and self.quant is None
-            and not train
-            and self.stride == 1
-            and not self.has_downsample
-            and d == 1
-            and self.activation is jax.nn.relu
-            and x.shape[-1] % 128 == 0
-            and x.shape[1] * x.shape[2] <= 4800
-            and jax.default_backend() == "tpu"
-        ):
-            return self._fused_eval(x)
         out = torch_conv(
             self.planes, (3, 1), stride=(self.stride, 1), padding=(1, 0),
             use_bias=True, dtype=self.dtype, name="conv3x1_1",
@@ -153,53 +138,6 @@ class NonBottleneck1D(nn.Module):
             )(x)
             identity = _bn("ds_bn", BN_EPS, self.dtype, train)(identity)
         return self.activation(out + identity)
-
-    def _fused_eval(self, x):
-        """Fused-kernel inference path; creates the SAME param/batch_stats
-        tree as the XLA path so checkpoints are interchangeable."""
-        from dynmm_tpu.kernels.nbt1d import fold_bn, fused_nbt1d_twopass
-
-        c = self.planes
-        lecun = nn.initializers.lecun_normal()
-
-        # param-holder submodules keep conv3x1_1/kernel etc. identical to the
-        # XLA path's nn.Conv/nn.BatchNorm trees
-        def conv_holder(name, shape):
-            class _P(nn.Module):
-                def setup(p):
-                    p.kernel = p.param("kernel", lecun, shape)
-                    p.bias = p.param("bias", nn.initializers.zeros, (c,))
-            return _P(name=name)
-
-        def bn_holder(name):
-            class _B(nn.Module):
-                def setup(p):
-                    p.scale = p.param("scale", nn.initializers.ones, (c,))
-                    p.bias = p.param("bias", nn.initializers.zeros, (c,))
-                    p.mean = p.variable(
-                        "batch_stats", "mean", lambda: jnp.zeros((c,))
-                    )
-                    p.var = p.variable(
-                        "batch_stats", "var", lambda: jnp.ones((c,))
-                    )
-            return _B(name=name)
-
-        c1 = conv_holder("conv3x1_1", (3, 1, c, c))
-        c2 = conv_holder("conv1x3_1", (1, 3, c, c))
-        bn1 = bn_holder("bn1")
-        c3 = conv_holder("conv3x1_2", (3, 1, c, c))
-        c4 = conv_holder("conv1x3_2", (1, 3, c, c))
-        bn2 = bn_holder("bn2")
-
-        s1, t1 = fold_bn(bn1.scale, bn1.bias, bn1.mean.value, bn1.var.value)
-        s2, t2 = fold_bn(bn2.scale, bn2.bias, bn2.mean.value, bn2.var.value)
-        return fused_nbt1d_twopass(
-            x,
-            c1.kernel[:, 0], c1.bias,
-            c2.kernel[0], c2.bias, s1, t1,
-            c3.kernel[:, 0], c3.bias,
-            c4.kernel[0], c4.bias, s2, t2,
-        )
 
 
 class Bottleneck(nn.Module):
@@ -330,13 +268,12 @@ class ResNetStage(nn.Module):
     in_planes: int = 64
     activation: Callable = jax.nn.relu
     dtype: Optional[Dtype] = None
-    use_pallas: bool = False
     quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         block_cls, expansion = _BLOCKS[self.block]
-        extra = {"use_pallas": self.use_pallas} if self.block == "NonBottleneck1D" else {}
+        extra = {}
         needs_ds = self.stride != 1 or self.in_planes != self.planes * expansion
         x = block_cls(
             self.planes,
@@ -377,7 +314,6 @@ class ResNet(nn.Module):
     dtype: Optional[Dtype] = None
     remat: bool = False  # rematerialize stages (jax.checkpoint) for training
     s2d_stem: bool = False  # space-to-depth stem (see ``stem``)
-    use_pallas: bool = False  # fused NBt1D kernel on small eval maps
     # int8 PTQ serving ('calib' / 'int8', nn/quant.py) — applies to the
     # stage convs; the stem conv keeps float (its input is the image and
     # its OUTPUT bytes are set by the consumer, not the conv dtype)
@@ -416,7 +352,6 @@ class ResNet(nn.Module):
                     in_planes=in_planes,
                     activation=self.activation,
                     dtype=self.dtype,
-                    use_pallas=self.use_pallas,
                     quant=self.quant,
                     name=f"layer{i + 1}",
                 )
@@ -503,7 +438,6 @@ def make_resnet(
     module_name: Optional[str] = None,
     remat: bool = False,
     s2d_stem: bool = False,
-    use_pallas: bool = False,
     quant: Optional[str] = None,
 ) -> ResNet:
     """Factory mirroring the reference constructors: ``resnet18/34`` honor the
@@ -524,7 +458,6 @@ def make_resnet(
         dtype=dtype,
         remat=remat,
         s2d_stem=s2d_stem,
-        use_pallas=use_pallas,
         quant=quant,
         **kwargs,
     )

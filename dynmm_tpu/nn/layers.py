@@ -302,17 +302,18 @@ class SqueezeAndExcitation(nn.Module):
     """Channel recalibration: global pool → 1×1 reduce → act → 1×1 expand →
     sigmoid → scale (``model_utils.py:36-51``).
 
-    The default path expresses the 1×1 convs as matmuls on the pooled (N, C)
-    vector (identical math). ``use_pallas`` routes through the fused
-    single-HBM-pass kernel (``dynmm_tpu.kernels.se``) when the map fits VMEM
-    and the activation is relu — the SE inference hot path.
+    The path expresses the 1×1 convs as matmuls on the pooled (N, C)
+    vector (identical math). A fused single-HBM-pass Pallas variant exists
+    (``dynmm_tpu.kernels.se``, exactness-tested) but measured SLOWER
+    in-model — XLA already keeps the pooled vector on-chip and the custom
+    call pays an operand relayout (docs/DESIGN.md, Pallas closure) — so
+    the in-model routing was removed.
     """
 
     channels: int
     reduction: int = 16
     activation: Callable = jax.nn.relu
     dtype: Optional[Dtype] = None
-    use_pallas: bool = False
 
     def setup(self):
         self.fc1 = _Conv1x1Params(
@@ -337,18 +338,6 @@ class SqueezeAndExcitation(nn.Module):
 
     def __call__(self, x):
         w1, b1, w2, b2 = self.weights()
-
-        n, h, wd, c = x.shape
-        if (
-            self.use_pallas
-            and self.activation is jax.nn.relu
-            and jax.default_backend() == "tpu"
-        ):
-            from dynmm_tpu.kernels.se import fits_vmem, fused_se
-
-            if fits_vmem((h * wd, c), x.dtype):
-                y = fused_se(x.reshape(n, h * wd, c), w1, b1, w2, b2)
-                return y.reshape(n, h, wd, c)
 
         pooled = x.mean(axis=(1, 2))  # (N, C)
         s = self.activation(pooled @ w1 + b1)
@@ -385,16 +374,15 @@ class SqueezeAndExciteFusionAdd(nn.Module):
     channels: int
     activation: Callable = jax.nn.relu
     dtype: Optional[Dtype] = None
-    use_pallas: bool = False
 
     def setup(self):
         self.se_rgb = SqueezeAndExcitation(
             self.channels, activation=self.activation, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="se_rgb",
+            name="se_rgb",
         )
         self.se_depth = SqueezeAndExcitation(
             self.channels, activation=self.activation, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="se_depth",
+            name="se_depth",
         )
 
     def __call__(self, rgb, depth):
@@ -416,29 +404,15 @@ class SqueezeAndExciteFusionAdd(nn.Module):
                 + depth * s_d[:, None, None, :])
 
     def fuse_and_pool(self, rgb, depth):
-        """Fused stem tail: SE-add + maxpool(3,2,1) of both the fused map
-        AND the raw second modality, in two HBM passes total
-        (``kernels.stem_fuse`` — the stem-resolution maps exceed VMEM, so
-        the single-pass SE kernel can't apply). Falls back to the unfused
-        graph off-TPU or for non-relu activations. Returns
+        """Stem tail: SE-add + maxpool(3,2,1) of both the fused map AND the
+        raw second modality. Returns
         (pool(se_fusion_add(rgb, depth)), pool(depth)).
 
-        Opt-in (``use_pallas``): bit-exact on-chip, but as of the last
-        measurement it still trails XLA's unfused graph (2.40 vs 1.66 ms at
-        bs=8 — tools/perf_stem_parts.py decomposes where the VPU time
-        goes), so the default path keeps the XLA graph."""
-        if (
-            self.use_pallas
-            and self.activation is jax.nn.relu
-            and jax.default_backend() == "tpu"
-            and rgb.shape[1] % 4 == 0
-            and rgb.shape[2] % 4 == 0
-        ):
-            from dynmm_tpu.kernels.stem_fuse import stem_se_fusion_pool
-
-            return stem_se_fusion_pool(
-                rgb, depth, *self.se_rgb.weights(), *self.se_depth.weights()
-            )
+        A fused two-HBM-pass Pallas variant exists
+        (``kernels.stem_fuse``, bit-exact on-chip) but measured SLOWER than
+        XLA's unfused graph (2.40 vs 1.66 ms at bs=8 —
+        tools/archive/perf_stem_parts.py decomposes the VPU overhead), so
+        the in-model routing was removed (docs/DESIGN.md, Pallas closure)."""
         fused = self(rgb, depth)
         return max_pool_3x3_s2(fused), max_pool_3x3_s2(depth)
 
@@ -675,14 +649,16 @@ class Upsample(nn.Module):
 
     ``fused`` (default) lowers the zeropad variant to one dilated depthwise
     conv (``learned3x3_zeropad_fused``) so the 4×-larger nearest intermediate
-    never hits HBM. ``use_pallas`` instead routes through the Pallas kernel
-    (``dynmm_tpu.kernels.upsample``).
+    never hits HBM. A Pallas variant exists (``dynmm_tpu.kernels.upsample``,
+    exactness-tested, compiles on-chip) but measured SLOWER in-model on the
+    lane-aligned decoder upsamples it targets (0.93-0.98× vs XLA,
+    tools/archive/perf_upsample_on.py), so the in-model routing was removed
+    (docs/DESIGN.md, Pallas closure).
     """
 
     mode: str
     channels: Optional[int] = None
     dtype: Optional[Dtype] = None
-    use_pallas: bool = False
     fused: bool = True
     fused_impl: str = "auto"
 
@@ -698,16 +674,6 @@ class Upsample(nn.Module):
                 kernel = kernel.astype(self.dtype)
                 bias = bias.astype(self.dtype)
                 x = x.astype(self.dtype)
-            if (
-                self.mode == "learned-3x3-zeropad"
-                and self.use_pallas
-                and jax.default_backend() == "tpu"
-                and x.shape[1] % 2 == 0
-                and c % 128 == 0  # Mosaic needs lane-aligned channels
-            ):
-                from dynmm_tpu.kernels.upsample import fused_learned_upsample
-
-                return fused_learned_upsample(x, kernel[:, :, 0, :], bias)
             if self.mode == "learned-3x3-zeropad" and self.fused:
                 return learned3x3_zeropad_fused(
                     x, kernel[:, :, 0, :], bias, impl=self.fused_impl

@@ -7,7 +7,7 @@ The serving-side complement to train.py/eval.py (the reference has no serving
 entry point; its closest analogue is the samples loop in eval.py):
 
     python predict.py --ckpt_path ckpt.msgpack --dataset_dir datasets/nyuv2 \
-        --split test --out_dir preds/ [--num 16] [--use-pallas] [--dtype bfloat16]
+        --split test --out_dir preds/ [--num 16] [--dtype bfloat16] [--quant int8]
 """
 
 from __future__ import annotations

@@ -102,17 +102,6 @@ class TestFusedNBt1D:
             np.asarray(out_mod), np.asarray(out_ref), rtol=1e-4, atol=1e-5
         )
 
-    def test_param_tree_identical_across_variants(self):
-        from dynmm_tpu.models.resnet import NonBottleneck1D
-
-        x = jnp.ones((1, 15, 20, 128))
-        v0 = NonBottleneck1D(128).init(jax.random.PRNGKey(0), x)
-        v1 = NonBottleneck1D(128, use_pallas=True).init(jax.random.PRNGKey(0), x)
-        t0 = jax.tree_util.tree_map(lambda a: a.shape, v0)
-        t1 = jax.tree_util.tree_map(lambda a: a.shape, v1)
-        assert t0 == t1
-
-
 class TestFusedNBt1DTwoPass:
     @pytest.mark.parametrize("h,w,c", [(12, 10, 8), (30, 40, 16)])
     def test_matches_reference(self, rng, h, w, c):
