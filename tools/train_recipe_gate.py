@@ -48,6 +48,11 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 ENCODER = os.environ.get("ENCODER", "resnet34")
 EPOCHS_A = int(os.environ.get("EPOCHS_A", "30"))
 EPOCHS_B = int(os.environ.get("EPOCHS_B", "60"))
+# The reference publishes multiple DynMM operating points by sweeping the
+# flop-loss weight (README.md:83-89 names it in each config string). 1e-4 is
+# their R34 best-accuracy point; on R50 it exerts ~4e-4 of pressure against a
+# CE of ~5, so the gate goes all-heavy — raise it to trade accuracy for skips.
+LOSS_RATIO = os.environ.get("LOSS_RATIO", "1e-4")
 SYN_N = int(os.environ.get("SYN_N", "64"))
 MIX = float(os.environ.get("MIX", "0.5"))
 H = int(os.environ.get("H", "480"))
@@ -62,7 +67,7 @@ BASE_FLAGS = [
     "--batch_size", "8",
     "--encoder", ENCODER,
     "--dynamic", "--global-gate",
-    "--loss-ratio", "1e-4",
+    "--loss-ratio", LOSS_RATIO,
     "--eval-every", "10",
     # no periodic saves: the single ckpt_epoch_* each stage leaves behind is
     # the trainer's final best-state save (reference "ckpt_best" semantics)
@@ -146,7 +151,7 @@ def main():
         dir_b = os.path.dirname(ck_b)
     else:
         dir_b = run_stage(
-            "stage B (temp1-0.001-loss1e-4-inifromhard)",
+            f"stage B (temp1-0.001-loss{LOSS_RATIO}-inifromhard)",
             ["--finetune", ck_a,
              "--temp", "1.0", "--end-temp", "0.001",
              "--epoch-ini", "0", "--epoch-hard", str(EPOCHS_B),
@@ -224,14 +229,15 @@ def main():
             np.asarray, {"params": sel_params, "batch_stats": sel_stats}),
         "branch_ratios": ratios.astype(np.float32),
         "provenance": {
-            "recipe": "README.md:83-89 two-stage (hard-loss1e-4 -> "
-                      "temp1-0.001-loss1e-4-inifromhard), reduced epochs",
+            "recipe": "README.md:83-89 two-stage (hard-loss -> "
+                      f"temp1-0.001-loss{LOSS_RATIO}-inifromhard), "
+                      "reduced epochs",
             "encoder": ENCODER,
             "epochs_a": EPOCHS_A,
             "epochs_b": EPOCHS_B,
             "synthetic_n": SYN_N,
             "mixed_modality_frac": MIX,
-            "loss_ratio": 1e-4,
+            "loss_ratio": float(LOSS_RATIO),
             "temp_start": 1.0,
             "temp_end": 0.001,
         },
