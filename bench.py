@@ -558,8 +558,12 @@ def bench_r50():
             v, r, d, force_path=4, method=model.forward_switch_batched),
     }
     if r50_ratios is not None:
+        from dynmm_tpu.models.skip_gate import capacity_ladders
+
+        r50_caps = capacity_ladders(r50_ratios, BS)
+        log(f"r50 routed capacity schedule: {r50_caps}")
         cands["routed"] = lambda v, r, d: model.apply(
-            v, r, d, caps=(0, BS // 2, BS),
+            v, r, d, caps=r50_caps,
             method=model.forward_routed_compact)
     # round-robin interleaved: sequential best-of reps are biased by the
     # ~1.5x contention drift (ADVICE r2)
@@ -641,13 +645,26 @@ def main():
     def dense_fn(m):
         return lambda v, r, d: m.apply(v, r, d, train=False, baseline=True)
 
+    # Per-stage capacity schedule from the trained gate's held-out ratios
+    # (skip_gate.capacity_ladders): an always-on stage compiles with NO
+    # cond boundary, a dead stage with one — at ~0.15-0.25 ms per executed
+    # cond (tools/perf_dispatch.py, perf_r50_trace.py) the schedule
+    # recovers most of the ladder tax vs the shared (0, bs/2, bs) ladder.
+    # Exact for ANY batch regardless of the ratios (bs rung fallback).
+    if trained_ratios is not None:
+        from dynmm_tpu.models.skip_gate import capacity_ladders
+        routed_caps = capacity_ladders(trained_ratios, BS)
+        log(f"routed capacity schedule: {routed_caps}")
+    else:
+        routed_caps = (0, BS // 2, BS)
+
     def routed_fn(m):
         return lambda v, r, d: m.apply(
-            v, r, d, caps=(0, BS // 2, BS), method=m.forward_routed_compact)
+            v, r, d, caps=routed_caps, method=m.forward_routed_compact)
 
     def routed_q4_fn(m):
         return lambda v, r, d: m.apply(
-            v, r, d, caps=(0, BS // 2, BS), low_res=True,
+            v, r, d, caps=routed_caps, low_res=True,
             method=m.forward_routed_compact)
 
     def dense_q4_fn(m):
@@ -699,6 +716,7 @@ def main():
     # `eval.py --quant int8`): abs-max calibration on 2 eval-stream batches,
     # then the quantized twins join the same interleave set. Guarded — the
     # bench must survive any int8 lowering failure. BENCH_INT8=0 skips.
+    model_int8, v_int8 = None, None
     if os.environ.get("BENCH_INT8", "1") not in ("", "0", "false"):
         try:
             from dynmm_tpu.utils.quantize import calibrate, quant_sanity
@@ -729,6 +747,7 @@ def main():
                 args_map[key] = int8_args
         except Exception as e:
             log(f"int8 serving candidates failed: {e}")
+            model_int8, v_int8 = None, None
 
     meds = measure_interleaved(
         runs, nop, variables, rgb, depth, args_map=args_map,
@@ -786,9 +805,21 @@ def main():
         }
         bs1_raw = (variables, rgb[:1], depth[:1])
         bs1_packed = (variables, rgb_p[:1], depth_p[:1])
+        bs1_args_map = {k: bs1_packed for k in bs1_runs if "packed" in k}
+        # int8 twins of the q4 chains (same calibration as the bs=8 series;
+        # abs-max scales are batch-size independent)
+        if v_int8 is not None:
+            bs1_runs["bs1_int8_dense_packed_q4"] = make_scan_bench(
+                dense_q4_fn(model_int8))
+            bs1_runs["bs1_int8_switch_packed_q4"] = make_scan_bench(
+                lambda v, r, d: model_int8.apply(
+                    v, r, d, low_res=True, method=model_int8.forward_switch))
+            bs1_int8 = (v_int8, rgb_p[:1], depth_p[:1])
+            bs1_args_map["bs1_int8_dense_packed_q4"] = bs1_int8
+            bs1_args_map["bs1_int8_switch_packed_q4"] = bs1_int8
         bs1_meds = measure_interleaved(
             bs1_runs, nop, *bs1_raw, rounds=3, iters=SCAN_ITERS,
-            args_map={k: bs1_packed for k in bs1_runs if "packed" in k},
+            args_map=bs1_args_map,
         )
         for k, t in bs1_meds.items():
             log(f"{k}: {t*1e3:.2f} ms ({1/t:.1f} fps)")

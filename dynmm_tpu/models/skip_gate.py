@@ -70,6 +70,31 @@ def flop_table(encoder_rgb: str, key: str = "depth_enc") -> np.ndarray:
     return FLOP_TABLES[name][key]
 
 
+def capacity_ladders(branch_ratios, bs: int) -> tuple:
+    """Per-stage capacity schedule for ``forward_routed_compact`` from a
+    trained gate's held-out branch ratios.
+
+    Stage ``i``'s expected participant count is ``bs * P(k >= i)``; the
+    common-case rung sits at that count (rounded up) so the usual batch
+    resolves in at most ONE ``lax.cond``, and the mandatory ``bs`` rung
+    keeps ANY batch exact (a surprise-heavy batch just runs at full
+    capacity). An always-on stage gets the single rung ``(bs,)`` — zero
+    cond boundaries; a never-on stage gets ``(0, bs)``. With the shared
+    default ladder ``(0, bs//2, bs)`` every stage pays up to two cond
+    boundaries (~0.15 ms each at bs=8 480x640); a 2-path gate pays 8 of
+    them, this schedule pays ~3."""
+    r = np.asarray(branch_ratios, dtype=np.float64)
+    assert r.shape == (5,)
+    out = []
+    for i in range(1, 5):
+        exp = int(np.ceil(float(r[i:].sum()) * bs - 1e-9))
+        if exp >= bs:
+            out.append((bs,))
+        else:
+            out.append((exp, bs))
+    return tuple(out)
+
+
 
 
 class _GateConvParams(nn.Module):
@@ -385,6 +410,16 @@ class SkipGateESANet(_DualEncoderParts):
         adds a half-batch rung: mixed batches then run depth stages at half
         capacity once the sorted participant prefix fits. Any ladder is
         exact.
+
+        ``caps`` may also be a tuple of FOUR ladders (one per depth stage
+        1-4) — a per-stage capacity schedule, the MoE capacity-factor idea
+        applied to depth stages. A trained gate concentrates its mass on a
+        couple of paths, so most stages have a statically predictable
+        participant count: a single-rung ladder ``(bs,)`` for an
+        always-on stage compiles to NO cond at all, ``(0, bs)`` for a
+        never-on stage to one. ``capacity_ladders`` derives the schedule
+        from held-out branch ratios; exactness never depends on the ratios
+        (a mispredicted rung just falls through to the ``bs`` rung).
         """
         train = False
         rgb, depth = self._stems(rgb, depth, train)
@@ -399,8 +434,15 @@ class SkipGateESANet(_DualEncoderParts):
         # n_i = #samples running depth stage i, i = 1..4
         counts = jnp.sum(k[:, None] >= jnp.arange(1, 5)[None, :], axis=0)
 
-        caps = sorted(set(caps)) if caps is not None else [0, bs // 2, bs]
-        assert caps[-1] == bs and caps[0] >= 0
+        if caps is None:
+            caps = (0, bs // 2, bs)
+        if isinstance(caps[0], (tuple, list)):
+            assert len(caps) == 4, "per-stage caps need 4 ladders (stages 1-4)"
+            ladders = [sorted(set(c)) for c in caps]
+        else:
+            ladders = [sorted(set(caps))] * 4
+        for lad in ladders:
+            assert lad[-1] == bs and lad[0] >= 0
 
         def prefix_depth_fuse(i, depth_buf, rgb_i):
             n = counts[i - 1]
@@ -449,7 +491,7 @@ class SkipGateESANet(_DualEncoderParts):
                     ops,
                 )
 
-            return choose(caps, (rgb_i, depth_buf))
+            return choose(ladders[i - 1], (rgb_i, depth_buf))
 
         skips = []
         fused = rgb

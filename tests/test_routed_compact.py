@@ -85,6 +85,48 @@ def test_compact_fine_ladders_match_dense(setup, caps):
     )
 
 
+@pytest.mark.parametrize(
+    "ladders",
+    [
+        # well-matched schedule for the path pattern below (n_i = 6,4,2,1)
+        ((6, 8), (4, 8), (2, 8), (1, 8)),
+        # mispredicted rungs must fall through to the bs rung, still exact
+        ((0, 8), (8,), (0, 8), (0, 8)),
+        # mixed rung counts per stage
+        ((8,), (0, 4, 8), (2, 8), (0, 8)),
+    ],
+    ids=["matched", "mispredicted", "mixed-depth"],
+)
+def test_compact_per_stage_ladders_match_dense(setup, ladders):
+    """Per-stage capacity schedules (caps = 4 ladders) stay exact whether
+    or not the rungs match the batch's actual participant counts."""
+    model, variables, rgb, depth = setup
+    v = {**variables,
+         "test_paths": {"paths": jnp.asarray([0, 4, 2, 1, 3, 0, 1, 2])}}
+    dense = model.apply(v, rgb, depth, train=False, hard=True)
+    compact = model.apply(v, rgb, depth, caps=ladders,
+                          method=model.forward_routed_compact)
+    np.testing.assert_allclose(
+        np.asarray(compact), np.asarray(dense), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_capacity_ladders_from_ratios():
+    """Schedule derivation: always-on stages get a single no-cond rung,
+    dead stages (0, bs), fractional stages a ceil rung + the bs rung."""
+    from dynmm_tpu.models.skip_gate import capacity_ladders
+
+    # the R50 1e-2 recipe gate's mix: 53% k1 / 47% k2
+    lad = capacity_ladders([0.0, 0.531, 0.469, 0.0, 0.0], 8)
+    assert lad == ((8,), (4, 8), (0, 8), (0, 8))
+    # the flagship recipe mix: 53% k0 / 47% k2
+    lad = capacity_ladders([0.531, 0.0, 0.469, 0.0, 0.0], 8)
+    assert lad == ((4, 8), (4, 8), (0, 8), (0, 8))
+    # all-heavy gate: every stage always on
+    lad = capacity_ladders([0.0, 0.0, 0.0, 0.5, 0.5], 8)
+    assert lad == ((8,), (8,), (8,), (4, 8))
+
+
 def test_compact_matches_batched_switch(setup):
     model, variables, rgb, depth = setup
     v = {
