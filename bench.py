@@ -565,6 +565,13 @@ def bench_r50():
         cands["routed"] = lambda v, r, d: model.apply(
             v, r, d, caps=r50_caps,
             method=model.forward_routed_compact)
+        # MoE capacity-factor serving (strict_caps): zero cond boundaries;
+        # rungs at ceil(bs*P*1.25) cover the eval mix with slack, overflow
+        # degrades gracefully (drops that stage's depth contribution)
+        r50_strict = capacity_ladders(r50_ratios, BS, capacity_factor=1.25)
+        cands["routed_strict"] = lambda v, r, d: model.apply(
+            v, r, d, caps=r50_strict, strict_caps=True,
+            method=model.forward_routed_compact)
     # round-robin interleaved: sequential best-of reps are biased by the
     # ~1.5x contention drift (ADVICE r2)
     res = measure_interleaved(
@@ -574,18 +581,24 @@ def bench_r50():
     for name, t in res.items():
         log(f"r50 {name}: {t*1e3:.2f} ms/batch ({BS/t:.1f} fps)")
     base = res["dense_base"]
+    skip_keys = ("dense_base", "routed", "routed_strict")
     out = {
         "dense_base_ms": round(base * 1e3, 2),
         "forced_ms": {k: round(res[k] * 1e3, 2)
-                      for k in res if k not in ("dense_base", "routed")},
+                      for k in res if k not in skip_keys},
         "vs_base": {k: round(base / res[k], 3)
-                    for k in res if k not in ("dense_base", "routed")},
+                    for k in res if k not in skip_keys},
     }
     if "routed" in res:
         out["routed_ms"] = round(res["routed"] * 1e3, 2)
         out["routed_vs_dense"] = round(base / res["routed"], 4)
         out["gate"] = "recipe"
         out["branch_ratios"] = [round(float(x), 4) for x in r50_ratios]
+        out["capacity_schedule"] = [list(l) for l in r50_caps]
+    if "routed_strict" in res:
+        out["routed_strict_ms"] = round(res["routed_strict"] * 1e3, 2)
+        out["routed_strict_vs_dense"] = round(
+            base / res["routed_strict"], 4)
     return out
 
 

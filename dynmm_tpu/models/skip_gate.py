@@ -70,7 +70,8 @@ def flop_table(encoder_rgb: str, key: str = "depth_enc") -> np.ndarray:
     return FLOP_TABLES[name][key]
 
 
-def capacity_ladders(branch_ratios, bs: int) -> tuple:
+def capacity_ladders(branch_ratios, bs: int,
+                     capacity_factor: Optional[float] = None) -> tuple:
     """Per-stage capacity schedule for ``forward_routed_compact`` from a
     trained gate's held-out branch ratios.
 
@@ -82,9 +83,26 @@ def capacity_ladders(branch_ratios, bs: int) -> tuple:
     cond boundaries; a never-on stage gets ``(0, bs)``. With the shared
     default ladder ``(0, bs//2, bs)`` every stage pays up to two cond
     boundaries (~0.15 ms each at bs=8 480x640); a 2-path gate pays 8 of
-    them, this schedule pays ~3."""
+    them, this schedule pays ~3.
+
+    With ``capacity_factor`` set, returns a STRICT single-rung schedule
+    (zero conds, pass ``strict_caps=True``): rung ``i`` is
+    ``ceil(bs · P(k ≥ i) · factor)`` clipped to ``bs`` — the MoE expert
+    capacity formula. Rungs are made non-increasing across stages so an
+    overflow-dropped row can never re-enter a later stage with zeroed
+    features. Live stages keep a rung ≥ 1."""
     r = np.asarray(branch_ratios, dtype=np.float64)
     assert r.shape == (5,)
+    if capacity_factor is not None:
+        rungs = []
+        for i in range(1, 5):
+            p = float(r[i:].sum())
+            c = 0 if p <= 0 else min(
+                bs, int(np.ceil(p * bs * capacity_factor - 1e-9)))
+            if rungs:
+                c = min(c, rungs[-1])
+            rungs.append(c)
+        return tuple((c,) for c in rungs)
     out = []
     for i in range(1, 5):
         exp = int(np.ceil(float(r[i:].sum()) * bs - 1e-9))
@@ -380,6 +398,7 @@ class SkipGateESANet(_DualEncoderParts):
         return_weight: bool = False,
         caps: Optional[tuple] = None,
         low_res: bool = False,
+        strict_caps: bool = False,
     ):
         """Hard-gate batched inference with PER-SAMPLE depth skipping.
 
@@ -420,6 +439,19 @@ class SkipGateESANet(_DualEncoderParts):
         never-on stage to one. ``capacity_ladders`` derives the schedule
         from held-out branch ratios; exactness never depends on the ratios
         (a mispredicted rung just falls through to the ``bs`` rung).
+
+        ``strict_caps``: MoE capacity-factor semantics — ladders need not
+        end at ``bs``, so a single-rung schedule compiles with ZERO cond
+        boundaries. Participants beyond a stage's final rung gracefully
+        degrade instead of erroring: they lose that stage's depth
+        contribution (their rgb stream continues with ``s_d' = 0``, like a
+        lower-k path; at a 0 rung the whole stage reduces to identity
+        rgb). Overflow never occurs when the rungs cover the batch's
+        actual counts — ``capacity_ladders(..., capacity_factor=f)``
+        sizes rungs at ``ceil(bs · P(k ≥ i) · f)`` exactly like an MoE
+        router's expert capacity. Use only for throughput serving where
+        the drop semantics are acceptable; the default (exact) mode never
+        drops.
         """
         train = False
         rgb, depth = self._stems(rgb, depth, train)
@@ -442,7 +474,11 @@ class SkipGateESANet(_DualEncoderParts):
         else:
             ladders = [sorted(set(caps))] * 4
         for lad in ladders:
-            assert lad[-1] == bs and lad[0] >= 0
+            assert lad[0] >= 0 and lad[-1] <= bs
+            if not strict_caps:
+                assert lad[-1] == bs, (
+                    "exact mode needs the bs fallback rung; pass "
+                    "strict_caps=True for capacity-factor drop semantics")
 
         def prefix_depth_fuse(i, depth_buf, rgb_i):
             n = counts[i - 1]

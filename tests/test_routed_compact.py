@@ -127,6 +127,57 @@ def test_capacity_ladders_from_ratios():
     assert lad == ((8,), (8,), (8,), (4, 8))
 
 
+def test_compact_strict_caps_exact_when_rungs_cover(setup):
+    """strict_caps single-rung schedule (zero conds): when every rung
+    covers the batch's actual participant count nothing is dropped and
+    the result is exact."""
+    model, variables, rgb, depth = setup
+    # counts for this pattern: n_1..4 = 6, 4, 2, 1
+    v = {**variables,
+         "test_paths": {"paths": jnp.asarray([0, 4, 2, 1, 3, 0, 1, 2])}}
+    dense = model.apply(v, rgb, depth, train=False, hard=True)
+    strict = model.apply(v, rgb, depth, caps=((6,), (4,), (2,), (1,)),
+                         strict_caps=True,
+                         method=model.forward_routed_compact)
+    np.testing.assert_allclose(
+        np.asarray(strict), np.asarray(dense), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_compact_strict_caps_overflow_degrades(setup):
+    """Overflow beyond a strict rung degrades gracefully: dropped rows
+    lose that stage's depth contribution only; rows on path 0 (never
+    participants) are untouched and must still match dense exactly."""
+    model, variables, rgb, depth = setup
+    paths = [0, 4, 2, 1, 3, 0, 1, 2]
+    v = {**variables, "test_paths": {"paths": jnp.asarray(paths)}}
+    dense = np.asarray(model.apply(v, rgb, depth, train=False, hard=True))
+    strict = np.asarray(model.apply(
+        v, rgb, depth, caps=((6,), (4,), (1,), (0,)), strict_caps=True,
+        method=model.forward_routed_compact))
+    assert np.all(np.isfinite(strict))
+    zero_rows = [i for i, p in enumerate(paths) if p == 0]
+    np.testing.assert_allclose(
+        strict[zero_rows], dense[zero_rows], atol=1e-5, rtol=1e-5
+    )
+    # the k=4 sample lost its stage-4 (and one of stage-3's) contribution
+    assert not np.allclose(strict, dense, atol=1e-5)
+
+
+def test_capacity_ladders_strict_factor():
+    """capacity_factor gives MoE-style strict rungs: ceil(bs*P*f), clipped
+    to bs, non-increasing across stages, 0 only for dead stages."""
+    from dynmm_tpu.models.skip_gate import capacity_ladders
+
+    lad = capacity_ladders([0.0, 0.531, 0.469, 0.0, 0.0], 8,
+                           capacity_factor=1.25)
+    assert lad == ((8,), (5,), (0,), (0,))
+    # a tiny live tail keeps a rung >= 1
+    lad = capacity_ladders([0.9, 0.0, 0.0, 0.0, 0.1], 8,
+                           capacity_factor=1.0)
+    assert lad == ((1,), (1,), (1,), (1,))
+
+
 def test_compact_matches_batched_switch(setup):
     model, variables, rgb, depth = setup
     v = {

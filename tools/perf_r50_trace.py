@@ -104,6 +104,10 @@ def main():
         "routed_sched": lambda v, r, d: model.apply(
             v, r, d, caps=capacity_ladders(ratios, BS),
             method=model.forward_routed_compact),
+        # strict capacity-factor schedule: zero conds, graceful drops
+        "routed_strict": lambda v, r, d: model.apply(
+            v, r, d, caps=capacity_ladders(ratios, BS, capacity_factor=1.25),
+            strict_caps=True, method=model.forward_routed_compact),
     }
     runs = {k: make_scan_bench(f) for k, f in cands.items()}
 
