@@ -265,6 +265,17 @@ class SkipGateESANet(_DualEncoderParts):
             return jax.nn.one_hot(idx, 5, dtype=rgb.dtype)
         return self.gate_layer(rgb, depth, temp=temp, hard=hard, train=train)
 
+    def gate_only(self, rgb, depth, temp: float = 1.0):
+        """Stems + hard gate, nothing else — (batch, 5) one-hot path weights.
+
+        The cheap program for estimating a deployment's branch ratios before
+        deriving a capacity schedule (``capacity_ladders``): eval/predict's
+        ``--capacity_factor`` runs this over the calibration batches, and
+        predict's ``switch_host`` phase-1 resolves k from it on the host."""
+        rgb, depth = self._stems(rgb, depth, False)
+        return self.gate_weights(rgb, depth, temp=temp, hard=True,
+                                 train=False)
+
     # ------------------------------------------------------------- soft/dense
     def __call__(
         self,

@@ -84,6 +84,14 @@ class SegTrainConfig:
     # Global-gate / static models only; valid-loss logging is skipped (the
     # low-res logits don't match the label resolution).
     low_res_eval: bool = False
+    # > 0: eval through forward_routed_compact with a STRICT single-rung
+    # capacity schedule (skip_gate.capacity_ladders(ratios, bs, factor)) —
+    # MoE capacity-factor drop semantics, zero lax.cond boundaries. The
+    # accuracy knob for the throughput-serving mode (eval.py
+    # --capacity_factor); the trainer's ``serve_ratios`` (estimated branch
+    # ratios) must be set before validation. Requires dynamic global-gate
+    # hard eval. 0.0 = exact reference-parity eval chain.
+    serve_capacity_factor: float = 0.0
 
 
 def onecycle_lr(cfg: SegTrainConfig):
@@ -179,6 +187,9 @@ class SegTrainer:
         self._eval_steps: dict = {}
         self.tx = None
         self.mesh = mesh
+        # estimated branch ratios feeding cfg.serve_capacity_factor's
+        # capacity schedule (set by eval.py before validation)
+        self.serve_ratios = None
 
     def _maybe_shard_batch(self, *arrays):
         if self.mesh is None:
@@ -322,7 +333,31 @@ class SegTrainer:
         def step(state, image, depth):
             variables = {"params": state["params"], **state["model_state"]}
             inputs = self._inputs(image, depth)
-            if self.cfg.dynamic and self.cfg.global_gate:
+            if (self.cfg.dynamic and self.cfg.global_gate
+                    and self.cfg.serve_capacity_factor > 0):
+                # strict capacity-factor serving (MoE drop semantics, zero
+                # cond boundaries) — the accuracy side of the bench's
+                # *_strict candidates. caps are static per batch size
+                # (trace-time shape), derived from the estimated ratios.
+                if not hard or baseline or ini:
+                    raise ValueError(
+                        "serve_capacity_factor needs hard non-baseline "
+                        "non-ini eval (it scores the serving chain)")
+                if self.serve_ratios is None:
+                    raise ValueError(
+                        "set trainer.serve_ratios (estimated branch "
+                        "ratios) before capacity-factor validation")
+                from dynmm_tpu.models.skip_gate import capacity_ladders
+
+                caps = capacity_ladders(
+                    self.serve_ratios, image.shape[0],
+                    capacity_factor=self.cfg.serve_capacity_factor)
+                pred, weight = self.model.apply(
+                    variables, *inputs, caps=caps, strict_caps=True,
+                    low_res=low_res, return_weight=True,
+                    method=self.model.forward_routed_compact,
+                )
+            elif self.cfg.dynamic and self.cfg.global_gate:
                 # the reference's ini_stage flag persists into validation
                 # (train.py:195 is not reset before validate)
                 kwargs = dict(hard=hard, baseline=baseline, return_weight=True)

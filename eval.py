@@ -56,7 +56,24 @@ def main():
         "cost of the 2x-faster serving knob; 'full' is the reference-parity "
         "chain (full-res logits -> bilinear resize -> argmax).",
     )
+    parser.add_argument(
+        "--capacity_factor", type=float, default=0.0,
+        help="> 0 scores the STRICT capacity-factor serving mode (bench's "
+        "*_strict candidates): branch ratios are estimated on "
+        "--calib_batches clean batches (skip_gate.gate_only), each depth "
+        "stage then runs at a single static capacity ceil(bs*P(k>=i)*F) "
+        "with MoE drop semantics — zero lax.cond boundaries; overflow "
+        "samples lose that stage's depth contribution. Quantifies the "
+        "accuracy cost of the throughput knob exactly like --output_res/"
+        "--quant. Requires --dynamic --global-gate --hard. 1.25 is the "
+        "benched point.",
+    )
     args = parser.parse_args()
+    if args.capacity_factor > 0 and not (
+            args.dynamic and args.global_gate and args.hard
+            and not args.baseline and args.modality == "rgbd"):
+        parser.error("--capacity_factor requires --dynamic --global-gate "
+                     "--hard (non-baseline, rgbd)")
 
     args.pretrained_on_imagenet = False
     _, data_loader, *extra_loaders = prepare_data(args, with_input_orig=True)
@@ -99,6 +116,35 @@ def main():
             calib_model, state, data_loader, n_batches=args.calib_batches)
         state["model_state"] = {**state["model_state"], "quant": qcoll}
         print(f"Calibrated int8 scales on {args.calib_batches} batches")
+
+    if args.capacity_factor > 0:
+        # estimate deployment branch ratios on clean batches (stems + gate
+        # only), then rebuild the trainer with the strict capacity schedule
+        # active — a fresh trainer so no cached exact-mode eval step leaks
+        import dataclasses
+        import itertools
+
+        import jax.numpy as jnp
+
+        from dynmm_tpu.models.skip_gate import capacity_ladders
+
+        gate_fn = jax.jit(lambda v, r, d: model.apply(
+            v, r, d, method=model.gate_only))
+        variables = {"params": state["params"], **state["model_state"]}
+        stats = GateStats()
+        for b in itertools.islice(iter(data_loader), args.calib_batches):
+            stats.append(gate_fn(variables, jnp.asarray(b["image"]),
+                                 jnp.asarray(b["depth"])))
+        ratios = stats.branch_ratios()
+        sched = capacity_ladders(ratios, args.batch_size,
+                                 capacity_factor=args.capacity_factor)
+        print(f"capacity-factor serving: estimated ratios "
+              f"{np.round(ratios, 3)}, strict schedule {sched} "
+              f"(factor {args.capacity_factor})")
+        cfg = dataclasses.replace(
+            cfg, serve_capacity_factor=args.capacity_factor)
+        trainer = SegTrainer(model, cfg, np.ones(n_classes, np.float32))
+        trainer.serve_ratios = ratios
 
     result = np.zeros(args.num_runs)
     cms: dict = {}

@@ -77,7 +77,17 @@ def main():
         "rather than learned-upsampled (accuracy knob, documented in "
         "docs/DESIGN.md). 'full' matches the reference's eval chain.",
     )
+    parser.add_argument(
+        "--capacity_factor", type=float, default=0.0,
+        help="with --serve_mode compact: > 0 serves the STRICT capacity-"
+        "factor schedule (MoE drop semantics, zero lax.cond boundaries) — "
+        "branch ratios estimated on --calib_batches batches, stage i runs "
+        "at ceil(bs*P(k>=i)*F). Score the accuracy cost with eval.py "
+        "--capacity_factor. 0 keeps the exact (0, bs/2, bs) ladder.",
+    )
     args = parser.parse_args()
+    if args.capacity_factor > 0 and args.serve_mode != "compact":
+        parser.error("--capacity_factor applies to --serve_mode compact")
     args.dynamic = True
     args.global_gate = True
 
@@ -175,6 +185,38 @@ def main():
         def fwd(v, r, d):
             k, w = gate_fn(v, r, d)
             return path_fns[int(k)](v, r, d), w
+    elif args.serve_mode == "compact" and args.capacity_factor > 0:
+        # strict capacity-factor serving: estimate the deployment's branch
+        # ratios (stems + gate only), derive the single-rung schedule, and
+        # compile the zero-cond compact forward with drop semantics
+        import itertools
+
+        from dynmm_tpu.core.resource import GateStats as _GS
+        from dynmm_tpu.models.skip_gate import capacity_ladders
+
+        gate_fn = jax.jit(lambda v, r, d: model.apply(
+            v, r, d, method=model.gate_only))
+        gstats = _GS()
+        for b in itertools.islice(iter(loader), args.calib_batches):
+            gstats.append(gate_fn(variables, jnp.asarray(b["image"]),
+                                  jnp.asarray(b["depth"])))
+        ratios = gstats.branch_ratios()
+        print(f"capacity-factor serving: estimated ratios "
+              f"{np.round(ratios, 3)}, strict schedule "
+              f"{capacity_ladders(ratios, args.batch_size, capacity_factor=args.capacity_factor)}")
+
+        # caps from the trace-time batch shape: tail batches retrace with
+        # their own (smaller) static schedule instead of tripping the
+        # rung <= bs assertion
+        def _fwd(v, r, d):
+            caps = capacity_ladders(
+                ratios, r.shape[0], capacity_factor=args.capacity_factor)
+            return model.apply(
+                v, r, d, caps=caps, strict_caps=True, return_weight=True,
+                low_res=low_res, method=model.forward_routed_compact,
+            )
+
+        fwd = jax.jit(_fwd)
     elif serve_method is None:
         fwd = jax.jit(
             lambda v, r, d: model.apply(

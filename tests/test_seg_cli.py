@@ -118,6 +118,23 @@ def test_train_then_eval_roundtrip(tmp_path):
     )
     assert result.returncode == 0, result.stderr[-4000:]
     assert "Mean" in result.stdout
+    mean_exact = [ln for ln in result.stdout.splitlines()
+                  if ln.startswith("Mean")][0]
+
+    # strict capacity-factor serving chain (--capacity_factor): a generous
+    # factor covers every participant count, so the scored mIoU equals the
+    # exact chain's bit for bit
+    result = run_cli(
+        "eval.py",
+        TINY_FLAGS + ["--dynamic", "--global-gate", "--hard",
+                      "--capacity_factor", "8.0", "--ckpt_path", ckpts[0]],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    assert "capacity-factor serving" in result.stdout
+    mean_strict = [ln for ln in result.stdout.splitlines()
+                   if ln.startswith("Mean")][0]
+    assert mean_strict == mean_exact
 
     # noise-robustness sweep path
     result = run_cli(
@@ -226,6 +243,22 @@ def test_predict_cli(tmp_path):
             a = (tmp_path / "preds" / f).read_bytes()
             b = (tmp_path / f"preds_{tag}" / f).read_bytes()
             assert a == b, f"{tag} diverged on {f}"
+
+    # strict capacity-factor compact serving: a generous factor never
+    # drops, so the maps stay byte-identical to the exact chains above
+    result = run_cli(
+        "predict.py",
+        TINY_FLAGS + ["--ckpt_path", ckpts[0], "--num", "3",
+                      "--serve_mode", "compact", "--capacity_factor", "8.0",
+                      "--out_dir", str(tmp_path / "preds_strict")],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert "capacity-factor serving" in result.stdout
+    for f in sorted(outs):
+        a = (tmp_path / "preds" / f).read_bytes()
+        b = (tmp_path / "preds_strict" / f).read_bytes()
+        assert a == b, f"strict caps diverged on {f}"
 
     # --output_res quarter: H/4 logits + host nearest-upsample of the class
     # map. Maps are full-size but boundary pixels may differ from the
