@@ -529,6 +529,21 @@ def bench_r50():
     # graphs are already in .jax_cache from that probe.
     global SCAN_ITERS
     saved_iters, SCAN_ITERS = SCAN_ITERS, 40
+    try:
+        return _bench_r50_body()
+    finally:
+        # restore even on failure: main() keeps running after a bench_r50
+        # exception, and a leaked 40 would re-compile every later graph at
+        # an uncached scan length (ADVICE r4)
+        SCAN_ITERS = saved_iters
+
+
+def _bench_r50_body():
+    import jax
+    import jax.numpy as jnp
+
+    from dynmm_tpu.models.esanet import ESANetConfig
+    from dynmm_tpu.models.skip_gate import SkipGateESANet
 
     cfg = ESANetConfig(
         height=480, width=640, num_classes=40,
@@ -611,7 +626,6 @@ def bench_r50():
         out["routed_strict_vs_dense"] = round(
             base / res["routed_strict"], 4)
     out["scan_iters"] = SCAN_ITERS
-    SCAN_ITERS = saved_iters
     return out
 
 
@@ -942,9 +956,7 @@ def main():
     except Exception as e:  # diagnostics must never kill the bench
         log(f"diagnostics failed: {e}")
 
-    print(
-        json.dumps(
-            {
+    result = {
                 # headline: the shipped serving configuration (bf16 routed
                 # compact, host-packed s2d stem inputs, trained gate, mixed
                 # batch) vs the reference's compute (static dense, fp32,
@@ -1025,8 +1037,25 @@ def main():
                 "modality_routing": modality,
                 **({"r50_routing": r50} if r50 is not None else {}),
             }
-        )
-    )
+    # Full record first, compact headline LAST: the round artifact keeps
+    # only the final ~2000 chars of stdout, and r4's single giant line lost
+    # its own headline + the first 8 series keys to the cap (VERDICT r4
+    # item 2). The last line is a self-contained parseable JSON object with
+    # metric/value/unit/vs_baseline and every stable series key, trimmed
+    # (least-important first) if it would ever outgrow the tail window.
+    print(json.dumps(result))
+    compact = {k: result[k] for k in
+               ("metric", "value", "unit", "vs_baseline")}
+    compact["series"] = dict(result["series"])
+    compact["branch_ratios"] = result["branch_ratios"]
+    compact["gate"] = result["gate"]
+    droppable = ["branch_ratios", "per_path_fps", "matmul_anchor_tflops"]
+    while (len(json.dumps(compact, separators=(",", ":"))) > 1800
+           and droppable):
+        k = droppable.pop()
+        compact.pop(k, None)
+        compact["series"].pop(k, None)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
