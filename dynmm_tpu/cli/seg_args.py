@@ -114,6 +114,19 @@ class ArgumentParserRGBDSegmentation(argparse.ArgumentParser):
                           help="int8 post-training quantization for serving "
                                "(eval/predict; abs-max calibration on the "
                                "first --calib_batches clean batches)")
+        self.add_argument("--calib_estimator", "--calib-estimator",
+                          default="absmax",
+                          choices=["absmax", "percentile"],
+                          help="activation-scale estimator for --quant "
+                               "int8: 'absmax' (running max) or "
+                               "'percentile' (clip rare outliers at "
+                               "--calib_percentile; finer resolution on "
+                               "the bulk of the distribution)")
+        self.add_argument("--calib_percentile", "--calib-percentile",
+                          type=float, default=99.9,
+                          help="percentile for --calib_estimator "
+                               "percentile; one of 99.0/99.9/99.99 "
+                               "(the grid recorded during calibration)")
         self.add_argument("--calib_batches", "--calib-batches", type=int,
                           default=8,
                           help="calibration batches for --quant int8")

@@ -48,6 +48,13 @@ Dtype = Any
 # Collection name for calibrated activation scales.
 QUANT_COLL = "quant"
 
+# Percentiles recorded during calibration alongside the abs-max (one
+# sort, three quantile picks — the TensorRT-style clipped estimators).
+# ``utils.quantize.select_scales`` swaps one of these into ``in_scale``
+# when the CLI asks for ``--calib_estimator percentile``; recording a
+# fixed grid keeps QConv config-free (no per-conv percentile plumbing).
+CALIB_PERCENTILES = (99.0, 99.9, 99.99)
+
 
 def weight_scales(kernel: jax.Array, eps: float = 1e-12) -> jax.Array:
     """Per-output-channel symmetric scales for an HWIO kernel: (C_out,)."""
@@ -120,9 +127,21 @@ class QConv(nn.Module):
             return y.astype(out_dtype)
 
         # float path ('calib', or grouped-conv fallback in 'int8')
-        if self.quant == "calib" and quantizable and not self.is_initializing():
-            s_in.value = jnp.maximum(
-                s_in.value, jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0)
+        if self.quant == "calib" and quantizable:
+            # abs-max AND the percentile grid, both as running maxes over
+            # batches (max-of-per-batch-quantiles upper-bounds the pooled
+            # quantile slightly; documented in utils/quantize.py). int8
+            # mode never reads in_pct — select_scales() resolves the
+            # chosen estimator into in_scale before serving.
+            s_pct = self.variable(
+                QUANT_COLL, "in_pct",
+                lambda: jnp.zeros((len(CALIB_PERCENTILES),), jnp.float32))
+            if not self.is_initializing():
+                ax = jnp.abs(x.astype(jnp.float32)).reshape(-1)
+                s_in.value = jnp.maximum(s_in.value, jnp.max(ax) / 127.0)
+                qs = jnp.quantile(
+                    ax, jnp.asarray(CALIB_PERCENTILES) / 100.0)
+                s_pct.value = jnp.maximum(s_pct.value, qs / 127.0)
         cd = self.dtype or x.dtype
         y = jax.lax.conv_general_dilated(
             x.astype(cd), kernel.astype(cd),

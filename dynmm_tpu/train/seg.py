@@ -458,7 +458,8 @@ class SegTrainer:
         return state, logs
 
     def calibrate_quant(self, calib_model, state, loader,
-                        n_batches: int = 8):
+                        n_batches: int = 8, estimator: str = "absmax",
+                        percentile: float = 99.9):
         """Abs-max int8 PTQ calibration (``utils/quantize.py``) over the
         first ``n_batches`` CLEAN batches of ``loader``, with the exact
         serving input prep (modality selection, ``--packed_stem`` packing).
@@ -470,7 +471,7 @@ class SegTrainer:
         regime the scales must cover."""
         import jax.numpy as jnp
 
-        from dynmm_tpu.utils.quantize import calibrate
+        from dynmm_tpu.utils.quantize import calibrate, select_scales
 
         cfg = self.cfg
 
@@ -495,7 +496,8 @@ class SegTrainer:
         kwargs = {"train": False}
         if cfg.dynamic and cfg.global_gate:
             kwargs.update(hard=True, baseline=bool(cfg.baseline))
-        return calibrate(calib_model, variables, batches(), **kwargs)
+        q = calibrate(calib_model, variables, batches(), **kwargs)
+        return select_scales(q, estimator=estimator, percentile=percentile)
 
     def validate(
         self,

@@ -65,8 +65,53 @@ def calibrate(
     return q
 
 
+def select_scales(qcoll, estimator: str = "absmax",
+                  percentile: float = 99.9):
+    """Resolve the calibration estimator into the ``in_scale`` leaves.
+
+    ``absmax`` returns ``qcoll`` unchanged (abs-max is what ``in_scale``
+    accumulates during calibration). ``percentile`` replaces every
+    ``in_scale`` with the matching entry of its conv's ``in_pct`` vector
+    (``nn.quant.CALIB_PERCENTILES`` grid; running max over batches of the
+    within-batch quantile of |x| — a slight upper bound on the pooled
+    quantile, conservative in the right direction for clipping).
+    Percentile clipping trades saturation of rare outliers for finer
+    resolution on the bulk of the distribution — the standard remedy when
+    one outlier conv stretches the abs-max scale.
+    """
+    if estimator == "absmax":
+        return qcoll
+    if estimator != "percentile":
+        raise ValueError(f"unknown calib estimator {estimator!r}")
+    from dynmm_tpu.nn.quant import CALIB_PERCENTILES
+
+    if percentile not in CALIB_PERCENTILES:
+        raise ValueError(
+            f"--calib_percentile must be one of {CALIB_PERCENTILES} "
+            f"(got {percentile}); the grid is recorded during calibration")
+    idx = CALIB_PERCENTILES.index(percentile)
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {k: walk(v) for k, v in node.items()}
+        if "in_scale" in out and "in_pct" in out:
+            out["in_scale"] = jax.numpy.maximum(out["in_pct"][idx], 1e-12)
+        return out
+
+    return walk(dict(qcoll))
+
+
 def quant_sanity(qcoll: dict, min_scale: float = 0.0) -> int:
-    """Count calibrated scales (> min_scale); 0 means calibration never
-    touched a quantized conv (wrong model mode or empty stream)."""
-    leaves = jax.tree_util.tree_leaves(qcoll)
-    return sum(int(x > min_scale) for x in leaves)
+    """Count calibrated ``in_scale`` entries (> min_scale); 0 means
+    calibration never touched a quantized conv (wrong model mode or empty
+    stream). Only ``in_scale`` leaves count — the ``in_pct`` percentile
+    grids ride along in the collection but aren't independent convs."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(qcoll)
+    n = 0
+    for path, x in flat:
+        key = getattr(path[-1], "key", None) if path else None
+        if key is None or key == "in_scale":
+            n += sum(int(v > min_scale)
+                     for v in jax.numpy.ravel(jax.numpy.asarray(x)))
+    return n

@@ -113,9 +113,14 @@ def main():
         calib_model = model.clone(
             cfg=dataclasses.replace(model.cfg, quant="calib", dtype=None))
         qcoll = trainer.calibrate_quant(
-            calib_model, state, data_loader, n_batches=args.calib_batches)
+            calib_model, state, data_loader, n_batches=args.calib_batches,
+            estimator=args.calib_estimator,
+            percentile=args.calib_percentile)
         state["model_state"] = {**state["model_state"], "quant": qcoll}
-        print(f"Calibrated int8 scales on {args.calib_batches} batches")
+        print(f"Calibrated int8 scales on {args.calib_batches} batches "
+              f"({args.calib_estimator}"
+              + (f" p{args.calib_percentile}"
+                 if args.calib_estimator == "percentile" else "") + ")")
 
     if args.capacity_factor > 0:
         # estimate deployment branch ratios on clean batches (stems + gate

@@ -125,7 +125,7 @@ def main():
         # exactly like the serving feed), then serve the int8 twin
         import dataclasses
 
-        from dynmm_tpu.utils.quantize import calibrate
+        from dynmm_tpu.utils.quantize import calibrate, select_scales
 
         calib_model = model.clone(
             cfg=dataclasses.replace(model.cfg, quant="calib", dtype=None))
@@ -136,10 +136,14 @@ def main():
                     break
                 yield (jnp.asarray(b["image"]), jnp.asarray(b["depth"]))
 
-        qcoll = calibrate(calib_model, variables, _calib_batches(),
-                          train=False, hard=True)
+        qcoll = select_scales(
+            calibrate(calib_model, variables, _calib_batches(),
+                      train=False, hard=True),
+            estimator=args.calib_estimator,
+            percentile=args.calib_percentile)
         variables = {**variables, "quant": qcoll}
-        print(f"Calibrated int8 scales on {args.calib_batches} batches")
+        print(f"Calibrated int8 scales on {args.calib_batches} batches "
+              f"({args.calib_estimator})")
 
     if args.serve_mode in ("switch", "switch_host") and args.batch_size != 1:
         parser.error(f"--serve_mode {args.serve_mode} requires --batch_size 1 "

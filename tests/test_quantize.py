@@ -14,8 +14,9 @@ import numpy as np
 import pytest
 
 from dynmm_tpu.nn.layers import ConvBNAct
-from dynmm_tpu.nn.quant import QConv, quantize_symmetric, weight_scales
-from dynmm_tpu.utils.quantize import calibrate, quant_sanity
+from dynmm_tpu.nn.quant import (CALIB_PERCENTILES, QConv,
+                                quantize_symmetric, weight_scales)
+from dynmm_tpu.utils.quantize import calibrate, quant_sanity, select_scales
 
 
 def _np_quant_conv(x, w, b, s_in):
@@ -102,6 +103,51 @@ def test_convbnact_int8_close_to_float(rng):
     out_f = ConvBNAct(16, 3).apply(vf, x, train=False)
     err = float(jnp.linalg.norm(out_q - out_f) / jnp.linalg.norm(out_f))
     assert err < 0.02, err
+
+
+def test_calib_records_percentile_grid(rng):
+    """Calibration accumulates in_pct alongside in_scale; each percentile
+    scale lower-bounds abs-max and the grid is monotone in p."""
+    conv = QConv(features=4, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+                 quant="calib")
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 4)).astype(np.float32))
+    v = conv.init(jax.random.PRNGKey(0), x)
+    _, m = conv.apply(v, x, mutable=["quant"])
+    s_abs = float(m["quant"]["in_scale"])
+    pct = np.asarray(m["quant"]["in_pct"])
+    assert pct.shape == (len(CALIB_PERCENTILES),)
+    assert np.all(np.diff(pct) >= 0)  # monotone in p
+    assert pct[-1] <= s_abs + 1e-12
+    ref = np.quantile(np.abs(np.asarray(x)).ravel(),
+                      np.asarray(CALIB_PERCENTILES) / 100.0) / 127.0
+    np.testing.assert_allclose(pct, ref, rtol=1e-4, atol=1e-7)
+
+
+def test_select_scales_percentile_swaps_in_scale(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    vf = ConvBNAct(16, 3).init(jax.random.PRNGKey(2), x)
+    q = calibrate(ConvBNAct(16, 3, quant="calib"), vf, [(x,)], train=False)
+    assert quant_sanity(q) == 1  # in_pct grids must NOT inflate the count
+    q_abs = select_scales(q, "absmax")
+    assert q_abs is q
+    for p in CALIB_PERCENTILES:
+        qp = select_scales(q, "percentile", percentile=p)
+        leaf = [v for k, v in jax.tree_util.tree_flatten_with_path(qp)[0]
+                if getattr(k[-1], "key", None) == "in_scale"]
+        assert len(leaf) == 1 and float(leaf[0]) > 0
+        # int8 forward runs with the swapped scales and stays close
+        out_q = ConvBNAct(16, 3, quant="int8").apply(
+            {**vf, "quant": qp}, x, train=False)
+        out_f = ConvBNAct(16, 3).apply(vf, x, train=False)
+        err = float(jnp.linalg.norm(out_q - out_f)
+                    / jnp.linalg.norm(out_f))
+        # p=99.0 saturates 1% of a Gaussian input by design — the loose
+        # bound just certifies the swapped scales produce a sane forward
+        assert err < 0.10, (p, err)
+    with pytest.raises(ValueError):
+        select_scales(q, "percentile", percentile=95.0)
+    with pytest.raises(ValueError):
+        select_scales(q, "entropy")
 
 
 def test_weight_scales_and_quantize_symmetric():
