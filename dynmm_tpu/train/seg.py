@@ -202,12 +202,18 @@ class SegTrainer:
         # batch divides the data axis, else leave host-replicated (jit still
         # runs it under the mesh)
         n_data = self.mesh.shape["data"]
-        if any(a.shape[0] % n_data != 0 for a in arrays):
-            return arrays
         if _jax.process_count() > 1:
             # multi-host: each process feeds only its own devices' rows
-            # (loader serves a ProcessShard view; SURVEY §5.8)
+            # (loader serves a ProcessShard view; SURVEY §5.8), so the
+            # LOCAL batch must divide this process's share of the 'data'
+            # axis — not the global axis size (a 4-row local batch on an
+            # 8-device 2-process mesh is exactly right, 4 rows per host)
+            local = max(n_data // _jax.process_count(), 1)
+            if any(a.shape[0] % local != 0 for a in arrays):
+                return arrays
             return make_global_batch(arrays, self.mesh)
+        if any(a.shape[0] % n_data != 0 for a in arrays):
+            return arrays
         return shard_batch(arrays, self.mesh)
 
     def _mesh_ctx(self):
