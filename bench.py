@@ -265,6 +265,53 @@ def measure_interleaved(runs: dict, nop, *args, rounds: int = 5,
     return {k: float(np.median(v)) for k, v in raw.items()}
 
 
+def while_ms_from_trace(trace_dir: str, iters: int) -> float:
+    """Per-iter ms of the scan while-loop on the /device:TPU lane — the
+    authoritative device-timeline timer (repeats to ±2 µs; CLAUDE.md):
+    scan-wall A/B deltas carry 0.5-1.3 ms/iter of host dispatch noise that
+    routed graphs pay more of than dense, so wall ratios under-report
+    routing. Mirrors tools/perf_r50_trace.py::while_ms."""
+    import glob
+    import gzip
+
+    base = os.path.join(trace_dir, "plugins", "profile")
+    runs = sorted(glob.glob(os.path.join(base, "*")))
+    files = glob.glob(os.path.join(runs[-1], "*.trace.json.gz"))
+    with gzip.open(files[-1], "rt") as f:
+        tr = json.load(f)
+    dev_pids = {
+        e["pid"] for e in tr["traceEvents"]
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "/device:TPU" in e.get("args", {}).get("name", "")
+    }
+    durs = [
+        e["dur"] for e in tr["traceEvents"]
+        if e.get("ph") == "X" and e.get("pid") in dev_pids
+        and e.get("name", "").startswith("while")
+    ]
+    assert durs, f"no while events in {trace_dir}"
+    # one while event per scan call; its body runs ``iters`` times
+    return max(durs) / 1e3 / iters
+
+
+def measure_device_while(runs: dict, args_of, iters: int,
+                         trace_root: str = "/tmp/bench_traces") -> dict:
+    """{name: device-timeline sec/iter} via one traced scan call per
+    candidate (already compiled+warmed by a prior measure_interleaved).
+    Contention shifts absolute device times too, but the while event is
+    immune to host dispatch/readback noise — the pair (wall, device) is
+    the honest two-timer report (VERDICT r4 item 3)."""
+    import jax
+
+    out = {}
+    for name, fn in runs.items():
+        d = os.path.join(trace_root, name)
+        with jax.profiler.trace(d):
+            float(fn(*args_of(name)))
+        out[name] = while_ms_from_trace(d, iters) / 1e3
+    return out
+
+
 def make_eval_batch(rng, bs, h, w):
     """Synthetic eval stream matching tools/train_bench_gate.py: half the
     samples get rgb-correlated (informative) depth, half near-zero depth."""
@@ -630,6 +677,7 @@ def _bench_r50_body():
 
 
 def main():
+    global SCAN_ITERS  # bs=1 block overrides and restores it
     setup_compilation_cache()
     import jax
     import jax.numpy as jnp
@@ -794,6 +842,38 @@ def main():
     )
     for k, t in meds.items():
         log(f"bs={BS} {k}: {t*1e3:.2f} ms/batch ({BS/t:.1f} fps)")
+
+    # Device-timeline truth for the contested ratios (VERDICT r4 item 3):
+    # one traced scan call per candidate, while-loop event = authoritative
+    # per-iter time (CLAUDE.md). Wall ratios stay in the series unchanged —
+    # the pair is the honest two-timer report. Guarded: tracing must never
+    # kill the bench. BENCH_TRACE=0 skips.
+    dev_series = {}
+    if os.environ.get("BENCH_TRACE", "1") not in ("", "0", "false"):
+        try:
+            trace_keys = ["dense_bf16_packed", "routed_bf16_packed",
+                          "dense_fp32_classmap"]
+            trace_keys += [k for k in ("int8_dense_packed_q4_classmap",
+                                       "dense_bf16_packed_q4_classmap")
+                           if k in runs]
+            devs = measure_device_while(
+                {k: runs[k] for k in trace_keys},
+                lambda k: args_map.get(k, (variables, rgb, depth)),
+                SCAN_ITERS)
+            for k, t in devs.items():
+                log(f"device {k}: {t*1e3:.3f} ms/iter")
+            dev_series["routed_vs_dense_bf16_device"] = round(
+                devs["dense_bf16_packed"] / devs["routed_bf16_packed"], 4)
+            dev_series["best_classmap_vs_dense_fp32_device"] = round(
+                devs["dense_fp32_classmap"]
+                / min(devs[k] for k in devs if k.endswith("_q4_classmap")),
+                4)
+            dev_series.update({
+                f"{k}_device_ms": round(t * 1e3, 3)
+                for k, t in devs.items()})
+        except Exception as e:
+            log(f"device-timeline traces failed: {e}")
+            dev_series = {}
     tb, tb16 = meds["dense_fp32"], meds["dense_bf16"]
     td, td16 = meds["routed_fp32"], meds["routed_bf16"]
     tm = meds["batchmax_fp32"]
@@ -825,7 +905,6 @@ def main():
     # switch is the shipped single-image path. 50 scan iters — bs=1 bodies
     # are ~2-3 ms, so the default 10 would leave the readback noise floor
     # too close.
-    global SCAN_ITERS
     saved_iters, SCAN_ITERS = SCAN_ITERS, 50
     try:
         bs1_runs = {
@@ -870,6 +949,60 @@ def main():
         bs1_series = {}
     finally:
         SCAN_ITERS = saved_iters
+
+    # bs=16 serving point (VERDICT r4 item 1): per-batch fixed costs
+    # (dispatch, gate, stem boundaries) amortize over more rows; the best
+    # class-map ratio may prefer it. Pairs are same-bs and interleaved in
+    # their own window, so the ratio is contention-robust. BENCH_BS16=0
+    # skips.
+    bs16_series = {}
+    BS16 = 16
+    if os.environ.get("BENCH_BS16", "1") not in ("", "0", "false"):
+        try:
+            if gate_kind == "recipe":
+                rgb16_0, depth16_0 = make_recipe_eval_batch(
+                    BS16, h, w, seed=77)
+            else:
+                rgb16_0, depth16_0 = make_eval_batch(
+                    np.random.default_rng(77), BS16, h, w)
+            rgb16 = jnp.asarray(rgb16_0)
+            depth16 = jnp.asarray(depth16_0)
+            rgb16_p = jnp.asarray(space_to_depth_host(rgb16_0))
+            depth16_p = jnp.asarray(space_to_depth_host(depth16_0))
+            runs16 = {
+                "bs16_dense_fp32_classmap": make_scan_bench(
+                    classmap_fn(dense_fn(model))),
+                "bs16_dense_bf16_packed_q4_classmap": make_scan_bench(
+                    classmap_fn(dense_q4_fn(model_bf16))),
+            }
+            args16 = {
+                "bs16_dense_bf16_packed_q4_classmap":
+                    (variables, rgb16_p, depth16_p),
+            }
+            if v_int8 is not None:
+                runs16["bs16_int8_dense_packed_q4_classmap"] = \
+                    make_scan_bench(classmap_fn(dense_q4_fn(model_int8)))
+                args16["bs16_int8_dense_packed_q4_classmap"] = \
+                    (v_int8, rgb16_p, depth16_p)
+            meds16 = measure_interleaved(
+                runs16, nop, variables, rgb16, depth16, rounds=4,
+                args_map=args16)
+            for k, t in meds16.items():
+                log(f"bs={BS16} {k}: {t*1e3:.2f} ms/batch "
+                    f"({BS16/t:.1f} fps)")
+            t16_ref = meds16["bs16_dense_fp32_classmap"]
+            bs16_series = {f"{k}_fps": round(BS16 / t, 1)
+                           for k, t in meds16.items()}
+            win16 = min((k for k in meds16
+                         if k != "bs16_dense_fp32_classmap"),
+                        key=meds16.get)
+            bs16_series["bs16_best_classmap_vs_dense_fp32"] = round(
+                t16_ref / meds16[win16], 4)
+            bs16_series["bs16_best_classmap_candidate"] = (
+                win16.replace("_classmap", ""))
+        except Exception as e:  # bs=16 series must never kill the bench
+            log(f"bs=16 series failed: {e}")
+            bs16_series = {}
 
     # live gate path histogram on the eval stream (hard selections)
     @jax.jit
@@ -956,6 +1089,17 @@ def main():
     except Exception as e:  # diagnostics must never kill the bench
         log(f"diagnostics failed: {e}")
 
+    bs8_ratio = (meds["dense_fp32_classmap"]
+                 / min(meds[k] for k in _CLASSMAP_CANDS if k in meds))
+    bs16_ratio = float(
+        bs16_series.get("bs16_best_classmap_vs_dense_fp32", 0.0))
+    best_cand = min((k for k in _CLASSMAP_CANDS if k in meds),
+                    key=lambda k: meds[k]).replace("_classmap", "")
+    if bs16_ratio > bs8_ratio:
+        best_cand = "bs16_" + str(
+            bs16_series["bs16_best_classmap_candidate"]).replace(
+                "bs16_", "")
+
     result = {
                 # headline: the shipped serving configuration (bf16 routed
                 # compact, host-packed s2d stem inputs, trained gate, mixed
@@ -1003,18 +1147,19 @@ def main():
                        if k in meds},
                     # best end-to-end class-map chain vs the reference-dtype
                     # dense full-res chain (dense bf16 q4 wins on the R34
-                    # flagship — routed_vs_dense physics, docs/DESIGN.md)
+                    # flagship — routed_vs_dense physics, docs/DESIGN.md).
+                    # Best over serving batch sizes {8, 16}; each ratio is
+                    # same-bs and interleaved within its own window (the
+                    # serving batch is a deployment knob; per-chip
+                    # throughput is what BASELINE.md scores)
                     "best_classmap_vs_dense_fp32": round(
-                        meds["dense_fp32_classmap"]
-                        / min(meds[k] for k in _CLASSMAP_CANDS if k in meds),
-                        4),
-                    # which candidate won the min() above — the per-candidate
-                    # *_classmap_fps keys are the cross-round trend series;
-                    # the min is a convenience headline only (ADVICE r3)
-                    "best_classmap_candidate": min(
-                        (k for k in _CLASSMAP_CANDS if k in meds),
-                        key=lambda k: meds[k],
-                    ).replace("_classmap", ""),
+                        max(bs8_ratio, bs16_ratio), 4),
+                    "best_classmap_vs_dense_fp32_bs8": round(bs8_ratio, 4),
+                    **bs16_series,
+                    # which candidate (and batch) won the max() above — the
+                    # per-candidate *_classmap_fps keys are the cross-round
+                    # trend series; the max is a convenience headline only
+                    "best_classmap_candidate": best_cand,
                     **bs1_series,
                     # the honest same-dtype footnote: fusion-level routing
                     # vs dense at fp32 on the R34 flagship (<1: the
@@ -1023,6 +1168,10 @@ def main():
                     # the WINS are r50_routing and modality_routing below)
                     "routed_vs_dense_fp32": round(tb / td, 4),
                     "routed_vs_dense_bf16": round(tb16 / td16, 4),
+                    # device-timeline twins (trace while-loop, ±2 µs): wall
+                    # ratios under-report routing by the routed graphs'
+                    # extra host dispatch — both timers reported honestly
+                    **dev_series,
                     "per_path_fps": per_path,
                     **({"matmul_anchor_tflops": anchor} if anchor else {}),
                     **({"train_step_samples_per_s": train_sps}
@@ -1049,7 +1198,13 @@ def main():
     compact["series"] = dict(result["series"])
     compact["branch_ratios"] = result["branch_ratios"]
     compact["gate"] = result["gate"]
-    droppable = ["branch_ratios", "per_path_fps", "matmul_anchor_tflops"]
+    # least-important last (popped first): per-candidate device-ms detail
+    # goes before the headline device ratios ever would
+    droppable = ["branch_ratios", "per_path_fps", "matmul_anchor_tflops",
+                 "dense_bf16_packed_device_ms", "routed_bf16_packed_device_ms",
+                 "dense_fp32_classmap_device_ms",
+                 "int8_dense_packed_q4_classmap_device_ms",
+                 "dense_bf16_packed_q4_classmap_device_ms"]
     while (len(json.dumps(compact, separators=(",", ":"))) > 1800
            and droppable):
         k = droppable.pop()
