@@ -807,7 +807,8 @@ def main():
     model_int8, v_int8 = None, None
     if os.environ.get("BENCH_INT8", "1") not in ("", "0", "false"):
         try:
-            from dynmm_tpu.utils.quantize import calibrate, quant_sanity
+            from dynmm_tpu.utils.quantize import (calibrate, pack_weights,
+                                                  quant_sanity)
 
             model_calib = _flagship(h, w, quant="calib")
             model_int8 = _flagship(h, w, dtype=jnp.bfloat16, quant="int8")
@@ -824,8 +825,10 @@ def main():
 
             qcoll = calibrate(model_calib, variables, _calib_batches(),
                               train=False, hard=True)
-            v_int8 = {**variables, "quant": qcoll}
-            log(f"int8: calibrated {quant_sanity(qcoll)} scales")
+            # load-time weight packing: kernels become int8 leaves, no
+            # per-call re-quantization (bit-exact vs in-graph)
+            v_int8 = pack_weights({**variables, "quant": qcoll})
+            log(f"int8: calibrated {quant_sanity(qcoll)} scales (packed)")
             int8_args = (v_int8, rgb_p, depth_p)
             for key, fn in (
                 ("int8_dense_packed_q4_classmap", dense_q4_fn(model_int8)),
@@ -950,6 +953,40 @@ def main():
     finally:
         SCAN_ITERS = saved_iters
 
+    # Headline window at 40 scan iters (VERDICT r4 item 1): at the default
+    # 10 iters the per-CALL costs (host dispatch, out-of-loop weight
+    # prep) land 4x harder on each iter, and the int8 chain carries more
+    # of them than the dense fp32 reference — the r4 wall ratio (2.83)
+    # sat well under the device-timeline truth (3.09). 40 iters amortizes
+    # both sides toward their device times; candidates stay interleaved.
+    hmeds = {}
+    saved_iters, SCAN_ITERS = SCAN_ITERS, 40
+    try:
+        hruns = {
+            "dense_fp32_classmap": make_scan_bench(
+                classmap_fn(dense_fn(model))),
+            "dense_bf16_packed_q4_classmap": make_scan_bench(
+                classmap_fn(dense_q4_fn(model_bf16))),
+            "routed_bf16_packed_q4_classmap": make_scan_bench(
+                classmap_fn(routed_q4_fn(model_bf16))),
+        }
+        hargs = {k: packed_args for k in hruns if "_packed" in k}
+        if v_int8 is not None:
+            hruns["int8_dense_packed_q4_classmap"] = make_scan_bench(
+                classmap_fn(dense_q4_fn(model_int8)))
+            hargs["int8_dense_packed_q4_classmap"] = int8_args
+        hmeds = measure_interleaved(
+            hruns, nop, variables, rgb, depth, rounds=5, iters=SCAN_ITERS,
+            args_map=hargs)
+        for k, t in hmeds.items():
+            log(f"headline(iters=40) {k}: {t*1e3:.2f} ms/batch "
+                f"({BS/t:.1f} fps)")
+    except Exception as e:  # headline window must never kill the bench
+        log(f"headline 40-iter window failed: {e}")
+        hmeds = {}
+    finally:
+        SCAN_ITERS = saved_iters
+
     # bs=16 serving point (VERDICT r4 item 1): per-batch fixed costs
     # (dispatch, gate, stem boundaries) amortize over more rows; the best
     # class-map ratio may prefer it. Pairs are same-bs and interleaved in
@@ -958,6 +995,9 @@ def main():
     bs16_series = {}
     BS16 = 16
     if os.environ.get("BENCH_BS16", "1") not in ("", "0", "false"):
+        # 20 iters: bs=16 bodies are ~2x the bs=8 ones, so 20 matches the
+        # headline window's per-call amortization
+        saved_iters, SCAN_ITERS = SCAN_ITERS, 20
         try:
             if gate_kind == "recipe":
                 rgb16_0, depth16_0 = make_recipe_eval_batch(
@@ -986,7 +1026,7 @@ def main():
                     (v_int8, rgb16_p, depth16_p)
             meds16 = measure_interleaved(
                 runs16, nop, variables, rgb16, depth16, rounds=4,
-                args_map=args16)
+                iters=SCAN_ITERS, args_map=args16)
             for k, t in meds16.items():
                 log(f"bs={BS16} {k}: {t*1e3:.2f} ms/batch "
                     f"({BS16/t:.1f} fps)")
@@ -1003,6 +1043,8 @@ def main():
         except Exception as e:  # bs=16 series must never kill the bench
             log(f"bs=16 series failed: {e}")
             bs16_series = {}
+        finally:
+            SCAN_ITERS = saved_iters
 
     # live gate path histogram on the eval stream (hard selections)
     @jax.jit
@@ -1089,12 +1131,16 @@ def main():
     except Exception as e:  # diagnostics must never kill the bench
         log(f"diagnostics failed: {e}")
 
-    bs8_ratio = (meds["dense_fp32_classmap"]
-                 / min(meds[k] for k in _CLASSMAP_CANDS if k in meds))
+    # headline ratio from the 40-iter window when it ran (wall ratio there
+    # tracks the device truth); the iters=10 series keys keep the
+    # cross-round trend unchanged
+    hsrc = hmeds if hmeds else meds
+    bs8_ratio = (hsrc["dense_fp32_classmap"]
+                 / min(hsrc[k] for k in _CLASSMAP_CANDS if k in hsrc))
     bs16_ratio = float(
         bs16_series.get("bs16_best_classmap_vs_dense_fp32", 0.0))
-    best_cand = min((k for k in _CLASSMAP_CANDS if k in meds),
-                    key=lambda k: meds[k]).replace("_classmap", "")
+    best_cand = min((k for k in _CLASSMAP_CANDS if k in hsrc),
+                    key=lambda k: hsrc[k]).replace("_classmap", "")
     if bs16_ratio > bs8_ratio:
         best_cand = "bs16_" + str(
             bs16_series["bs16_best_classmap_candidate"]).replace(

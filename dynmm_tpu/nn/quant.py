@@ -105,13 +105,25 @@ class QConv(nn.Module):
                 QUANT_COLL, "in_scale",
                 lambda: jnp.zeros((), jnp.float32))
 
-        out_dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        out_dtype = self.dtype or jnp.promote_types(
+            x.dtype if x.dtype != jnp.int8 else jnp.float32, jnp.float32)
 
         if self.quant == "int8" and quantizable:
             scale = jnp.maximum(s_in.value, 1e-12)
             x_q = quantize_symmetric(x, scale)
-            s_w = weight_scales(kernel)
-            w_q = quantize_symmetric(kernel, s_w[None, None, None, :])
+            if kernel.dtype == jnp.int8:
+                # pre-packed weights (utils.quantize.pack_weights): the
+                # kernel leaf already holds w_q and the per-channel scale
+                # lives in the quant collection — no per-call re-quantize
+                # (the in-graph form re-read every f32 kernel each call,
+                # ~1.1 ms/call on the flagship)
+                w_q = kernel
+                s_w = self.variable(
+                    QUANT_COLL, "w_scale",
+                    lambda: jnp.zeros((self.features,), jnp.float32)).value
+            else:
+                s_w = weight_scales(kernel)
+                w_q = quantize_symmetric(kernel, s_w[None, None, None, :])
             acc = jax.lax.conv_general_dilated(
                 x_q, w_q,
                 window_strides=tuple(self.strides),

@@ -102,6 +102,50 @@ def select_scales(qcoll, estimator: str = "absmax",
     return walk(dict(qcoll))
 
 
+def pack_weights(variables: dict) -> dict:
+    """Pre-quantize conv weights for int8 serving (load-time, not per call).
+
+    The in-graph form re-quantizes every f32 kernel on each jitted call —
+    XLA hoists it out of scan loops but real serving pays it per batch
+    (~1.1 ms/call on the flagship: one full read of the f32 param tree).
+    This transform replaces each calibrated conv's ``kernel`` leaf with its
+    int8 twin (``QConv`` detects the dtype and skips re-quantization) and
+    stores the per-output-channel scale as ``w_scale`` in the ``quant``
+    collection. Bit-exact vs the in-graph form: the same
+    ``weight_scales``/``quantize_symmetric`` algebra runs once here instead
+    of per call (tests/test_quantize.py::test_pack_weights_bit_exact).
+
+    Convs are identified by their calibrated ``in_scale`` entry, so grouped
+    convs (float fallback) and non-conv params are untouched.
+    """
+    import jax.numpy as jnp
+
+    params = variables.get("params")
+    q = variables.get(QUANT_COLL)
+    assert params is not None and q, \
+        "pack_weights needs 'params' and a calibrated 'quant' collection"
+
+    def walk(p, qc):
+        p_out, q_out = dict(p), dict(qc)
+        if "in_scale" in qc and "kernel" in p:
+            kern = jnp.asarray(p["kernel"])
+            if kern.dtype != jnp.int8:  # idempotent: skip already-packed
+                from dynmm_tpu.nn.quant import (quantize_symmetric,
+                                                weight_scales)
+
+                s_w = weight_scales(kern)
+                p_out["kernel"] = quantize_symmetric(
+                    kern, s_w[None, None, None, :])
+                q_out["w_scale"] = s_w
+        for k, v in qc.items():
+            if isinstance(v, dict) and k in p and isinstance(p[k], dict):
+                p_out[k], q_out[k] = walk(p[k], v)
+        return p_out, q_out
+
+    new_p, new_q = walk(dict(params), dict(q))
+    return {**variables, "params": new_p, QUANT_COLL: new_q}
+
+
 def quant_sanity(qcoll: dict, min_scale: float = 0.0) -> int:
     """Count calibrated ``in_scale`` entries (> min_scale); 0 means
     calibration never touched a quantized conv (wrong model mode or empty

@@ -112,11 +112,16 @@ def main():
 
         calib_model = model.clone(
             cfg=dataclasses.replace(model.cfg, quant="calib", dtype=None))
+        from dynmm_tpu.utils.quantize import pack_weights
+
         qcoll = trainer.calibrate_quant(
             calib_model, state, data_loader, n_batches=args.calib_batches,
             estimator=args.calib_estimator,
             percentile=args.calib_percentile)
-        state["model_state"] = {**state["model_state"], "quant": qcoll}
+        packed = pack_weights({"params": state["params"], "quant": qcoll})
+        state["params"] = packed["params"]
+        state["model_state"] = {**state["model_state"],
+                                "quant": packed["quant"]}
         print(f"Calibrated int8 scales on {args.calib_batches} batches "
               f"({args.calib_estimator}"
               + (f" p{args.calib_percentile}"

@@ -125,7 +125,8 @@ def main():
         # exactly like the serving feed), then serve the int8 twin
         import dataclasses
 
-        from dynmm_tpu.utils.quantize import calibrate, select_scales
+        from dynmm_tpu.utils.quantize import (calibrate, pack_weights,
+                                              select_scales)
 
         calib_model = model.clone(
             cfg=dataclasses.replace(model.cfg, quant="calib", dtype=None))
@@ -141,7 +142,7 @@ def main():
                       train=False, hard=True),
             estimator=args.calib_estimator,
             percentile=args.calib_percentile)
-        variables = {**variables, "quant": qcoll}
+        variables = pack_weights({**variables, "quant": qcoll})
         print(f"Calibrated int8 scales on {args.calib_batches} batches "
               f"({args.calib_estimator})")
 

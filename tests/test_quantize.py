@@ -16,7 +16,8 @@ import pytest
 from dynmm_tpu.nn.layers import ConvBNAct
 from dynmm_tpu.nn.quant import (CALIB_PERCENTILES, QConv,
                                 quantize_symmetric, weight_scales)
-from dynmm_tpu.utils.quantize import calibrate, quant_sanity, select_scales
+from dynmm_tpu.utils.quantize import (calibrate, pack_weights, quant_sanity,
+                                      select_scales)
 
 
 def _np_quant_conv(x, w, b, s_in):
@@ -150,6 +151,32 @@ def test_select_scales_percentile_swaps_in_scale(rng):
         select_scales(q, "entropy")
 
 
+def test_pack_weights_bit_exact(rng):
+    """Load-time weight packing == in-graph weight quantization, bit for
+    bit (same weight_scales/quantize_symmetric algebra, run once)."""
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    vf = ConvBNAct(16, 3).init(jax.random.PRNGKey(2), x)
+    q = calibrate(ConvBNAct(16, 3, quant="calib"), vf, [(x,)], train=False)
+    v = {**vf, "quant": q}
+    model_q = ConvBNAct(16, 3, quant="int8")
+    out_a = model_q.apply(v, x, train=False)
+    vp = pack_weights(v)
+    kernels = [leaf for path, leaf
+               in jax.tree_util.tree_flatten_with_path(vp["params"])[0]
+               if getattr(path[-1], "key", None) == "kernel"]
+    assert any(k.dtype == jnp.int8 for k in kernels)
+    # per-channel scales stored; calib stats preserved
+    flat = {getattr(p[-1], "key", None)
+            for p, _ in jax.tree_util.tree_flatten_with_path(vp["quant"])[0]}
+    assert {"w_scale", "in_scale", "in_pct"} <= flat
+    out_b = model_q.apply(vp, x, train=False)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    # idempotent: re-packing a packed tree is a no-op
+    vpp = pack_weights(vp)
+    np.testing.assert_array_equal(
+        np.asarray(model_q.apply(vpp, x, train=False)), np.asarray(out_b))
+
+
 def test_weight_scales_and_quantize_symmetric():
     w = jnp.asarray([[[[1.0, -2.0], [0.5, 0.25]]]])  # (1,1,2,2)
     s = weight_scales(w)
@@ -214,6 +241,12 @@ def test_flagship_int8_serving_all_strategies(rng, tiny_cfg):
                            return_weight=True)
     np.testing.assert_array_equal(
         np.asarray(jnp.argmax(w_f, -1)), np.asarray(jnp.argmax(w_q, -1)))
+
+    # load-time weight packing: bit-exact on the full flagship, and the
+    # packed tree drives every strategy below in place of the in-graph form
+    vq = pack_weights(vq)
+    out_packed = model_q.apply(vq, rgb, depth, train=False, hard=True)
+    np.testing.assert_array_equal(np.asarray(out_packed), np.asarray(out_q))
 
     # routed strategies execute under int8 and match their own dense-hard
     bs = rgb.shape[0]
