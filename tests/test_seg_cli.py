@@ -418,6 +418,21 @@ def test_eval_cli_int8(tmp_path):
     assert "Calibrated int8 scales" in result.stdout
     assert "Mean" in result.stdout
 
+    # percentile estimator (--calib_estimator): clipped activation scales
+    # through the same chain (utils/quantize.select_scales)
+    result = run_cli(
+        "eval.py",
+        TINY_FLAGS + ["--dynamic", "--global-gate", "--hard",
+                      "--quant", "int8", "--calib_batches", "2",
+                      "--calib_estimator", "percentile",
+                      "--calib_percentile", "99.9",
+                      "--ckpt_path", ckpts[0]],
+        tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-4000:]
+    assert "percentile p99.9" in result.stdout
+    assert "Mean" in result.stdout
+
     # predict.py serves the int8 twin (batchmax strategy, quarter-res map)
     result = run_cli(
         "predict.py",
