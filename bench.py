@@ -236,33 +236,51 @@ def measure(run, nop, *args, reps: int = 3, iters: int | None = None) -> float:
 
 def measure_interleaved(runs: dict, nop, *args, rounds: int = 5,
                         iters: int | None = None,
-                        args_map: dict | None = None) -> dict:
-    """{name: median_sec_per_iter} with reps round-robined across all
+                        args_map: dict | None = None,
+                        estimator: str = "median") -> dict:
+    """{name: sec_per_iter} with reps round-robined across all
     candidates — chip/tunnel contention drifts on second scales, so
     back-to-back sequential reps bias ratios (observed: dense caught a
     quiet window and the routed/dense ratio swung 0.70→0.85).
 
     ``args_map`` optionally overrides the positional args per candidate
     (e.g. space-to-depth pre-packed inputs for ``*_packed`` candidates) so
-    differently-fed candidates still share one interleave set."""
+    differently-fed candidates still share one interleave set.
+
+    ``estimator``: "median" = median over reps of the paired
+    (total − overhead) diff — the long-standing trend-series estimator.
+    "minfloor" = (min(total) − min(overhead)) per candidate — host
+    dispatch noise is strictly additive on this 1-core host, so the min
+    over reps is the noise-floor estimate of the true per-call time
+    (CLAUDE.md measure() note: subtracting mins separately avoids one
+    inflated nop rep biasing the paired form low). Device-timeline traces
+    are bit-repeatable (±2 µs) while the paired-median wall wobbled
+    ±0.4 ms/iter across whole-bench runs; minfloor tracks the device
+    truth. Applied identically to every candidate in the set, so ratios
+    remain apples-to-apples."""
     iters = iters if iters is not None else SCAN_ITERS
     args_of = lambda k: args_map.get(k, args) if args_map else args
     for k, run in runs.items():
         float(run(*args_of(k)))  # compile + warm
     float(nop(*args))
-    raw = {k: [] for k in runs}
+    totals = {k: [] for k in runs}
+    overheads = {k: [] for k in runs}
     names = list(runs)
     for rnd in range(rounds):
         for k in names[rnd % len(names):] + names[:rnd % len(names)]:
             a = args_of(k)
             t0 = time.perf_counter()
             float(runs[k](*a))
-            total = time.perf_counter() - t0
+            totals[k].append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             float(nop(*a))
-            overhead = time.perf_counter() - t0
-            raw[k].append(max(total - overhead, 1e-9) / iters)
-    return {k: float(np.median(v)) for k, v in raw.items()}
+            overheads[k].append(time.perf_counter() - t0)
+    if estimator == "minfloor":
+        return {k: max(min(totals[k]) - min(overheads[k]), 1e-9) / iters
+                for k in runs}
+    return {k: float(np.median([max(t - o, 1e-9) / iters
+                                for t, o in zip(totals[k], overheads[k])]))
+            for k in runs}
 
 
 def while_ms_from_trace(trace_dir: str, iters: int) -> float:
@@ -975,9 +993,14 @@ def main():
             hruns["int8_dense_packed_q4_classmap"] = make_scan_bench(
                 classmap_fn(dense_q4_fn(model_int8)))
             hargs["int8_dense_packed_q4_classmap"] = int8_args
+        # minfloor + 7 rounds: run-to-run the device timeline is
+        # bit-identical (6.570/20.251 ms) while the paired-median wall
+        # swung 3.05→2.91 across whole-bench runs on the 1-core host —
+        # the min over interleaved reps is the additive-noise floor and
+        # tracks the device ratio (3.08).
         hmeds = measure_interleaved(
-            hruns, nop, variables, rgb, depth, rounds=5, iters=SCAN_ITERS,
-            args_map=hargs)
+            hruns, nop, variables, rgb, depth, rounds=7, iters=SCAN_ITERS,
+            args_map=hargs, estimator="minfloor")
         for k, t in hmeds.items():
             log(f"headline(iters=40) {k}: {t*1e3:.2f} ms/batch "
                 f"({BS/t:.1f} fps)")
@@ -1025,8 +1048,8 @@ def main():
                 args16["bs16_int8_dense_packed_q4_classmap"] = \
                     (v_int8, rgb16_p, depth16_p)
             meds16 = measure_interleaved(
-                runs16, nop, variables, rgb16, depth16, rounds=4,
-                iters=SCAN_ITERS, args_map=args16)
+                runs16, nop, variables, rgb16, depth16, rounds=5,
+                iters=SCAN_ITERS, args_map=args16, estimator="minfloor")
             for k, t in meds16.items():
                 log(f"bs={BS16} {k}: {t*1e3:.2f} ms/batch "
                     f"({BS16/t:.1f} fps)")
